@@ -1,0 +1,3 @@
+from .config import CfgNode, load_config
+
+__all__ = ["CfgNode", "load_config"]

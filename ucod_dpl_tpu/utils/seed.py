@@ -1,0 +1,22 @@
+"""Deterministic seeding (counterpart of ``engine/utils/seed.py:6-14``).
+
+JAX randomness is explicit (PRNG keys), so unlike the torch reference we only
+need to seed Python/NumPy for the host-side pipeline and export the base key.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+
+def set_random_seed(seed: int = 42):
+    """Seed python / numpy / PYTHONHASHSEED and return a jax PRNG key."""
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    import jax
+
+    return jax.random.PRNGKey(seed)
