@@ -1,0 +1,126 @@
+"""Dual-Branch Adversarial (DBA) decoder — TPU-native rebuild of the
+reference ``RevDecoder`` (``models/modules/DBA.py:5-59``).
+
+Pure functions over an explicit parameter pytree.  Layout is NHWC (TPU
+native); every 1x1 convolution is expressed as a channel matmul so the whole
+forward is a handful of MXU contractions XLA fuses with the gating math.
+
+The orthogonality loss is algebraically reformulated: the reference
+materialises the (B, L, L) branch Gram matrix (L = H*W = 4624 at the 68x68
+feature size) purely to take the mean of its squared off-diagonal.  Using
+``||F1 F2^T||_F^2 = sum((F1^T F1) * (F2^T F2))`` the same scalar is computed
+from two (C, C) Grams (C = 64) plus an (L,) row-dot — O(L C^2) FLOPs and
+O(C^2) memory instead of O(L^2 C) / O(L^2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EMBED_DIM = 64
+
+
+class RevDecoderParams(NamedTuple):
+    """Parameters of one decoder tower (student or EMA teacher)."""
+
+    decoupling_w: jnp.ndarray  # (feature_dim, 2*EMBED_DIM)
+    decoupling_b: jnp.ndarray  # (2*EMBED_DIM,)
+    learnable_embedding: jnp.ndarray  # (2, EMBED_DIM)
+    conv_out_fg_w: jnp.ndarray  # (EMBED_DIM, 1)
+    conv_out_fg_b: jnp.ndarray  # (1,)
+    conv_out_bg_w: jnp.ndarray  # (EMBED_DIM, 1)
+    conv_out_bg_b: jnp.ndarray  # (1,)
+
+
+def _conv1x1_init(key, fan_in: int, fan_out: int):
+    """torch nn.Conv2d default init: kaiming-uniform(a=sqrt(5)) weight,
+    uniform(+-1/sqrt(fan_in)) bias."""
+    wkey, bkey = jax.random.split(key)
+    bound_w = jnp.sqrt(1.0 / fan_in)  # kaiming uniform with a=sqrt(5), 1x1 kernel
+    w = jax.random.uniform(wkey, (fan_in, fan_out), minval=-bound_w, maxval=bound_w)
+    bound_b = 1.0 / jnp.sqrt(fan_in)
+    b = jax.random.uniform(bkey, (fan_out,), minval=-bound_b, maxval=bound_b)
+    return w.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def init_rev_decoder(key: jax.Array, feature_dim: int = 768) -> RevDecoderParams:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dw, db = _conv1x1_init(k1, feature_dim, 2 * EMBED_DIM)
+    fw, fb = _conv1x1_init(k2, EMBED_DIM, 1)
+    bw, bb = _conv1x1_init(k3, EMBED_DIM, 1)
+    emb = jax.random.normal(k4, (2, EMBED_DIM), dtype=jnp.float32)
+    return RevDecoderParams(dw, db, emb, fw, fb, bw, bb)
+
+
+def orthogonal_loss_from_features(f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
+    """mean over (B, L, L) of squared off-diagonal of ``f1 @ f2^T``.
+
+    Equivalent to the reference's ``calc_orthogonal_loss`` (DBA.py:25-29)
+    without materialising the L x L Gram: Frobenius term via (C, C) Grams,
+    diagonal via an (L,) row-dot.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    b, l, _ = f1.shape
+    g1 = jnp.einsum("blc,bld->bcd", f1, f1, precision=hi)
+    g2 = jnp.einsum("blc,bld->bcd", f2, f2, precision=hi)
+    fro_sq = jnp.sum(g1 * g2, axis=(1, 2))  # (B,)
+    diag = jnp.sum(f1 * f2, axis=-1)  # (B, L)
+    diag_sq = jnp.sum(diag**2, axis=-1)  # (B,)
+    return jnp.sum(fro_sq - diag_sq) / (b * l * l)
+
+
+def rev_decoder_forward(
+    params: RevDecoderParams,
+    x: jnp.ndarray,
+    *,
+    with_loss: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    """Forward pass.
+
+    Args:
+      params: decoder parameters.
+      x: features, NHWC ``(B, H, W, feature_dim)``.
+      with_loss: compute the inter-branch orthogonality loss (training).
+
+    Returns:
+      (fg_logits, bg_logits, ortho_loss) with masks ``(B, H, W, 1)``.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    b, h, w, _ = x.shape
+    l = h * w
+
+    decoupled = (
+        jnp.einsum("bhwc,cd->bhwd", x, params.decoupling_w, precision=hi)
+        + params.decoupling_b
+    )
+    d1, d2 = jnp.split(decoupled, 2, axis=-1)  # (B, H, W, E) each
+
+    # scale by per-branch embedding, then L2-normalise over the *token* axis
+    # (the reference normalises dim=1 of (B, L, C) — i.e. across positions,
+    # per channel; DBA.py:38-41)
+    f1 = (d1 * params.learnable_embedding[0]).reshape(b, l, EMBED_DIM)
+    f2 = (d2 * params.learnable_embedding[1]).reshape(b, l, EMBED_DIM)
+    eps = 1e-12  # torch F.normalize default eps
+    f1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=1, keepdims=True), eps)
+    f2 = f2 / jnp.maximum(jnp.linalg.norm(f2, axis=1, keepdims=True), eps)
+
+    ortho = orthogonal_loss_from_features(f1, f2) if with_loss else None
+
+    f1 = f1.reshape(b, h, w, EMBED_DIM)
+    f2 = f2.reshape(b, h, w, EMBED_DIM)
+
+    att1 = jax.nn.sigmoid(f1 * d1) + d1
+    att2 = jax.nn.sigmoid(f2 * d2) + d2
+
+    fg = (
+        jnp.einsum("bhwc,cd->bhwd", att1, params.conv_out_fg_w, precision=hi)
+        + params.conv_out_fg_b
+    )
+    bg = (
+        jnp.einsum("bhwc,cd->bhwd", att2, params.conv_out_bg_w, precision=hi)
+        + params.conv_out_bg_b
+    )
+    return fg, bg, ortho
