@@ -1,0 +1,125 @@
+"""Multi-head attention for the DINO ViT — Pallas TPU kernel with XLA fallback.
+
+The ViT forward is the throughput-dominant computation of the whole framework
+(feature cache build + LookTwice re-inference, SURVEY §3.5).  Sequence
+lengths are short-to-moderate (1370 tokens @518px/14, 2917 @756px/14), head
+dim 64: whole K/V for one (batch, head) fits VMEM comfortably, so the kernel
+keeps K/V resident and streams query blocks — one softmax per tile, two MXU
+matmuls, no HBM round-trip for the (L, L) score matrix.
+
+Numerics match the HF eager path: logits scaled by 1/sqrt(head_dim) and
+softmax in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # (bq, d)
+    k = k_ref[0].astype(jnp.float32)  # (Lp, d)
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (bq, Lp)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < seq_len, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
+    """q_h/k_h/v_h: (BH, L, d) per-head layout."""
+    bh, seq_len, d = q_h.shape
+    lp = _ceil_to(seq_len, block_q)
+    pad = [(0, 0), (0, lp - seq_len), (0, 0)]
+    qp = jnp.pad(q_h, pad)
+    kp = jnp.pad(k_h, pad)
+    vp = jnp.pad(v_h, pad)
+
+    grid = (bh, lp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, seq_len=seq_len, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, lp, d), q_h.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lp * lp * d,
+            bytes_accessed=3 * bh * lp * d * q_h.dtype.itemsize + bh * lp * d * q_h.dtype.itemsize,
+            transcendentals=bh * lp * lp,
+        ),
+    )(qp, kp, vp)
+    return out[:, :seq_len, :]
+
+
+def _xla_attention(q_h, k_h, v_h, scale: float):
+    s = (
+        jnp.einsum("bqd,bkd->bqk", q_h, k_h, preferred_element_type=jnp.float32)
+        * scale
+    )
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q_h.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v_h, preferred_element_type=jnp.float32).astype(
+        q_h.dtype
+    )
+
+
+def use_pallas() -> bool:
+    if os.environ.get("UCOD_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float,
+) -> jnp.ndarray:
+    """(B, L, D) q/k/v projections -> (B, L, D) attention output."""
+    b, l, d_model = q.shape
+    hd = d_model // num_heads
+
+    def split(x):
+        return (
+            x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3).reshape(b * num_heads, l, hd)
+        )
+
+    qh, kh, vh = split(q), split(k), split(v)
+    if use_pallas():
+        o = _pallas_attention(qh, kh, vh, float(scale))
+    else:
+        o = _xla_attention(qh, kh, vh, float(scale))
+    return o.reshape(b, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d_model)
