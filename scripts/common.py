@@ -1,0 +1,34 @@
+"""Shared entry-script plumbing: config init with work_dir derivation."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ucod_dpl_tpu.config import load_config  # noqa: E402
+
+
+def init_cfg(args, mode: str):
+    cfg = load_config(args.config, overrides=args.opts or None)
+    cfg.mode = mode
+    cfg.dataset_cfg.valset_cfg.keep_size = mode != "train"
+    if args.load_from:
+        cfg.train_cfg.checkpoint = args.load_from
+    if args.refiner_path:
+        cfg.train_cfg.refiner_path = args.refiner_path
+    # work_dir derived from the config path, as the reference does
+    # (scripts/train.py:14-18)
+    cfg_dir = os.path.dirname(os.path.abspath(args.config))
+    try:
+        rel = os.path.relpath(cfg_dir, os.path.abspath("./configs"))
+    except ValueError:
+        rel = os.path.basename(cfg_dir)
+    if rel.startswith(".."):
+        rel = os.path.basename(cfg_dir)
+    cfg.work_dir = os.path.join(
+        args.work_dir, rel, os.path.splitext(os.path.basename(args.config))[0]
+    )
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    if not cfg.log_cfg.get("log_path"):
+        cfg.log_cfg.log_path = os.path.join(cfg.work_dir, "logs")
+    return cfg

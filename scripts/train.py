@@ -1,0 +1,20 @@
+"""Stage-1 UCOD-DPL training entry point (counterpart of scripts/train.py)."""
+
+from scripts.args import parse_args
+from scripts.common import init_cfg
+
+
+def main():
+    args = parse_args("UCOD-DPL stage-1 training")
+    cfg = init_cfg(args, mode="train")
+
+    from ucod_dpl_tpu.engine import Runner
+    from ucod_dpl_tpu.utils import set_random_seed
+
+    set_random_seed(42)
+    runner = Runner(cfg, mode="train", load_from=args.load_from)
+    runner.launch_train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,323 @@
+"""COD datasets, cache building, and a minimal host dataloader.
+
+Behavioral counterpart of the reference data layer
+(``data/datasets/base_dataset.py``, ``lr_dataset.py``,
+``dataloader_utils.py``) with the same on-disk cache layout
+(``cache_manager.py:63-76``):
+
+  {cache_dir}/features_cache/{extractor}/{mode}/{DATASET}
+  {cache_dir}/pseudo_label_cache/{DATASET}
+  {cache_dir}/patch_cache/{extractor}/{mode}/{DATASET}
+  {cache_dir}/m_patch_cache/{extractor}/{mode}/{DATASET}
+
+TPU-first difference: the one-time feature cache build runs the DINO
+backbone in *batches* (the reference loops image-by-image), and all arrays
+are NHWC.  Legacy torch-pickle caches written by the PyTorch reference are
+read transparently (CHW -> HWC conversion).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ucod_dpl_tpu.utils import get_logger
+from ucod_dpl_tpu.utils.fileio import ArrayCache, ImageIO
+
+from .feature_extractor import FeatureExtractor
+from .transforms import image_transform, label_transform, patch_transform
+
+_FEATURE_DIM = 768
+
+
+def _to_hwc(arr: np.ndarray) -> np.ndarray:
+    """Normalise cached arrays to HWC (legacy torch caches are CHW)."""
+    if arr.ndim == 3 and arr.shape[0] in (1, _FEATURE_DIM) and arr.shape[0] != arr.shape[-1]:
+        return np.transpose(arr, (1, 2, 0))
+    return arr
+
+
+class CacheSet:
+    """Per-dataset cache handles with the reference directory layout."""
+
+    def __init__(self, cache_dir: str, extractor_type: str, mode: str, dataset: str, logger=None):
+        self.cache_dir = cache_dir
+        self.extractor_type = extractor_type
+        self.mode = mode
+        self.dataset = dataset
+        self.logger = logger
+        self._caches: Dict[str, ArrayCache] = {}
+
+    def get(self, kind: str) -> ArrayCache:
+        if kind not in self._caches:
+            if kind == "pseudo_label":
+                path = os.path.join(self.cache_dir, "pseudo_label_cache", self.dataset)
+            else:
+                path = os.path.join(
+                    self.cache_dir, f"{kind}_cache", self.extractor_type, self.mode, self.dataset
+                )
+            self._caches[kind] = ArrayCache(path, logger=self.logger)
+        return self._caches[kind]
+
+
+class CODDataset:
+    """Image/label/feature/pseudo-label dataset (counterpart of
+    ``BaseCODDataset``/``USCODDataset``)."""
+
+    def __init__(
+        self,
+        set_cfg,
+        feature_extractor_cfg,
+        dataset_dir: str,
+        cache_dir: str,
+        mode: str = "train",
+        keep_size: bool = False,
+        image_size: Tuple[int, int] = (518, 518),
+        require_label: bool = False,
+        feature_extractor: Optional[FeatureExtractor] = None,
+        cache_build_batch: int = 8,
+        logger=None,
+    ):
+        self.set_cfg = set_cfg
+        self.feature_extractor_cfg = feature_extractor_cfg
+        self.dataset_dir = dataset_dir
+        self.cache_dir = cache_dir
+        self.mode = mode
+        self.keep_size = keep_size
+        self.image_size = tuple(image_size)
+        self.require_label = require_label
+        self.cache_build_batch = cache_build_batch
+        self.logger = logger or get_logger()
+        self._feature_extractor = feature_extractor
+
+        self._scan_files()
+        self.caches = CacheSet(
+            cache_dir, feature_extractor_cfg.type, mode, set_cfg.DATASET, logger=self.logger
+        )
+        if self.caches.get("features").mode == "w":
+            self._build_feature_cache()
+
+    # -- files ---------------------------------------------------------------
+    def _scan_files(self) -> None:
+        self.image_paths: List[Path] = []
+        self.label_paths: List[Path] = []
+        for ds in self.set_cfg.DATASET.split("+"):
+            self.image_paths += ImageIO.list_dir_image(os.path.join(self.dataset_dir, ds, "im"))
+            if self.require_label:
+                self.label_paths += ImageIO.list_dir_image(
+                    os.path.join(self.dataset_dir, ds, "gt")
+                )
+        self.image_paths = sorted(self.image_paths)
+        if self.label_paths:
+            self.label_paths = sorted(self.label_paths)
+            assert len(self.image_paths) == len(self.label_paths), (
+                f"image/label count mismatch: {len(self.image_paths)} vs {len(self.label_paths)}"
+            )
+            stems = {p.stem for p in self.label_paths}
+            for p in self.image_paths:
+                assert p.stem in stems, f"label missing for {p}"
+
+    # -- feature extraction -----------------------------------------------------
+    @property
+    def feature_extractor(self) -> FeatureExtractor:
+        if self._feature_extractor is None:
+            self._feature_extractor = FeatureExtractor(self.feature_extractor_cfg)
+        return self._feature_extractor
+
+    def _load_image_array(self, path: Path) -> np.ndarray:
+        img = ImageIO.read_image(path, "RGB")
+        return image_transform(img, self.image_size)
+
+    def _build_feature_cache(self) -> None:
+        cache = self.caches.get("features")
+        self.logger.log(
+            f"Building feature cache for {self.set_cfg.DATASET} "
+            f"({len(self.image_paths)} images, batch {self.cache_build_batch})"
+        )
+        idx = 0
+        bs = self.cache_build_batch
+        for start in range(0, len(self.image_paths), bs):
+            chunk = self.image_paths[start : start + bs]
+            batch = np.stack([self._load_image_array(p) for p in chunk])
+            feats = np.asarray(self.feature_extractor.extract(batch))
+            for f in feats:
+                cache.write(idx, f.astype(np.float32))
+                idx += 1
+        cache.flush()
+        self.logger.log(f"Feature cache complete: {idx} samples")
+
+    # -- item access ---------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        label = None
+        if self.label_paths:
+            img = ImageIO.read_image(self.label_paths[index], "L")
+            label = label_transform(img, self.image_size, keep_size=self.keep_size)
+
+        features = _to_hwc(self.caches.get("features").read(index))
+
+        pseudo_label = None
+        if self.mode == "train":
+            pl_cache = self.caches.get("pseudo_label")
+            if pl_cache.mode == "r" and len(pl_cache) > index:
+                pseudo_label = _to_hwc(pl_cache.read(index))
+
+        return {
+            "pseudo_label": pseudo_label,
+            "label": label,
+            "features": features,
+            "img_path": str(self.image_paths[index]),
+        }
+
+
+class LRDataset(CODDataset):
+    """CORAL stage-2 dataset with 3x3 patch-grid and 2x2 m-patch features
+    (counterpart of ``data/datasets/lr_dataset.py``)."""
+
+    M_PATCH_SLICE = 36
+    M_PATCH_STRIDE = 18
+
+    def __init__(self, *args, window_size: int = 3, require_m_patches: bool = True, **kwargs):
+        self.window_size = window_size
+        self.require_m_patches = require_m_patches
+        super().__init__(*args, **kwargs)
+        if self.caches.get("patch").mode == "w" or (
+            self.require_m_patches and self.caches.get("m_patch").mode == "w"
+        ):
+            self._build_patch_cache()
+
+    def _fe_image_size(self) -> Tuple[int, int]:
+        """High-res transform size: 756 (dinov2) / 432 (dinov1), the
+        reference's feature_extractor_transform (base_dataset.py:107-110)."""
+        return (756, 756) if self.feature_extractor_cfg.type == "dinov2" else (432, 432)
+
+    def _grid_patches(self, img) -> np.ndarray:
+        """Resize to window_size x image_size and cut the patch grid.
+        Returns (ws*ws, h, w, C) key features (batched single DINO call)."""
+        from PIL import Image
+
+        gh, gw = self.image_size
+        big = img.resize((self.window_size * gw, self.window_size * gh), Image.BILINEAR)
+        patches = []
+        for i in range(self.window_size):
+            for j in range(self.window_size):
+                box = (j * gw, i * gh, (j + 1) * gw, (i + 1) * gh)
+                patches.append(patch_transform(big.crop(box)))
+        feats = self.feature_extractor.extract(np.stack(patches))
+        return np.asarray(feats, dtype=np.float32)
+
+    def _m_patches(self, img) -> np.ndarray:
+        """(4, 36, 36, C) overlapping m-patch key slices of the high-res map
+        (lr_dataset.py:154-168)."""
+        arr = image_transform(img, self._fe_image_size())
+        key = np.asarray(self.feature_extractor.extract(arr[None]))[0]  # (54, 54, C)
+        s, st = self.M_PATCH_SLICE, self.M_PATCH_STRIDE
+        out = []
+        for i in range(2):
+            for j in range(2):
+                out.append(key[i * st : i * st + s, j * st : j * st + s, :])
+        return np.stack(out).astype(np.float32)
+
+    def _build_patch_cache(self) -> None:
+        patch_cache = self.caches.get("patch")
+        m_cache = self.caches.get("m_patch") if self.require_m_patches else None
+        self.logger.log(
+            f"Building patch caches for {self.set_cfg.DATASET} ({len(self.image_paths)} images)"
+        )
+        for idx, path in enumerate(self.image_paths):
+            img = ImageIO.read_image(path, "RGB")
+            if patch_cache.mode == "w":
+                patch_cache.write(idx, self._grid_patches(img))
+            if m_cache is not None and m_cache.mode == "w":
+                m_cache.write(idx, self._m_patches(img))
+        if patch_cache.mode == "w":
+            patch_cache.flush()
+        if m_cache is not None and m_cache.mode == "w":
+            m_cache.flush()
+
+    def get_features(self, img_path: str, crop_center: bool = False):
+        """Live multi-resolution extraction; with ``crop_center`` the centre
+        half of the image replaces it (the CORAL low-confidence fallback,
+        lr_dataset.py:82-134)."""
+        img = ImageIO.read_image(img_path, "RGB")
+        if crop_center:
+            w, h = img.size
+            left, top = w // 4, h // 4
+            img = img.crop((left, top, left + w // 2, top + h // 2))
+        patches = self._grid_patches(img)
+        m_patches = self._m_patches(img) if self.require_m_patches else None
+        if crop_center:
+            arr = image_transform(img, self.image_size)
+            key = np.asarray(self.feature_extractor.extract(arr[None]))[0]
+            return key[None], patches[None], m_patches[None] if m_patches is not None else None
+        return patches, m_patches
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        items = super().__getitem__(index)
+        patch_cache = self.caches.get("patch")
+        h_inputs = np.stack(
+            [_to_hwc(a) for a in patch_cache.read(index)]
+        ) if patch_cache.mode == "r" else None
+        m_inputs = None
+        if self.require_m_patches:
+            m_cache = self.caches.get("m_patch")
+            if m_cache.mode == "r":
+                m_inputs = np.stack([_to_hwc(a) for a in m_cache.read(index)])
+        items.update({"m_inputs": m_inputs, "h_inputs": h_inputs, "index": index})
+        return items
+
+
+def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack equal-shape arrays; pass ragged/None/str entries through as
+    lists (counterpart of ``dataloader_utils.collate_fn:13-39``)."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray) and all(
+            isinstance(v, np.ndarray) and v.shape == vals[0].shape for v in vals
+        ):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float)) and not isinstance(vals[0], bool):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Minimal host dataloader: shuffling, batching, numpy collation."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield collate([self.dataset[int(i)] for i in idx])

@@ -1,0 +1,112 @@
+"""Device-side DINO feature extraction service.
+
+Counterpart of the reference ``backbone`` wrapper
+(``data/utils/feature_extractor.py:31-59``), TPU-first: batched jitted
+forwards per input resolution (compiled once, cached), bf16 compute on TPU,
+and the key/attention outputs returned functionally instead of via hooks.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucod_dpl_tpu.models.dino import (
+    DinoConfig,
+    dino_forward,
+    init_dino,
+    load_hf_checkpoint,
+)
+from ucod_dpl_tpu.utils import get_logger
+
+
+def _candidate_weight_paths(fe_cfg) -> list:
+    """Weight search order mirroring the reference's local->cache fallback
+    (``feature_extractor.py:15-29``)."""
+    name = fe_cfg.backbone.split("/")[-1]
+    cands = []
+    for base in (fe_cfg.get("backbone_weights"), fe_cfg.get("backbone_weight_base")):
+        if not base:
+            continue
+        base = Path(os.path.expanduser(base))
+        cands += [base, base / name, base / fe_cfg.backbone.replace("/", "--")]
+    return cands
+
+
+class FeatureExtractor:
+    """Frozen DINO backbone exposing the key-feature hook contract."""
+
+    def __init__(
+        self,
+        fe_cfg,
+        compute_dtype: Optional[jnp.dtype] = None,
+        seed: int = 0,
+    ):
+        self.fe_cfg = fe_cfg
+        self.config = DinoConfig.from_type(fe_cfg.type)
+        arch = fe_cfg.get("arch")  # optional architecture overrides (tests/small runs)
+        if arch:
+            import dataclasses
+
+            self.config = dataclasses.replace(self.config, **dict(arch))
+        self.logger = get_logger()
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        self.compute_dtype = compute_dtype
+        self.params = self._load_params(seed)
+        self._jitted: Dict[Tuple, callable] = {}
+
+    def _load_params(self, seed: int):
+        for cand in _candidate_weight_paths(self.fe_cfg):
+            if cand.is_dir() and (
+                (cand / "model.safetensors").exists() or (cand / "pytorch_model.bin").exists()
+            ):
+                self.logger.log(f"Loading DINO weights from {cand}")
+                return load_hf_checkpoint(str(cand), self.config)
+            if cand.is_file():
+                self.logger.log(f"Loading DINO weights from {cand}")
+                return load_hf_checkpoint(str(cand), self.config)
+        self.logger.warning(
+            f"No local weights found for {self.fe_cfg.backbone} "
+            f"(searched {_candidate_weight_paths(self.fe_cfg)}); "
+            "using RANDOM initialisation — features will not match pretrained DINO."
+        )
+        return init_dino(jax.random.PRNGKey(seed), self.config)
+
+    def _forward(self, want_attn: bool):
+        key = ("fwd", want_attn)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                partial(
+                    dino_forward,
+                    cfg=self.config,
+                    want_cls_attention=want_attn,
+                    compute_dtype=self.compute_dtype,
+                )
+            )
+        return self._jitted[key]
+
+    def extract(self, images_nhwc: np.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) normalised images -> (B, h, w, hidden) key features."""
+        out = self._forward(False)(self.params, jnp.asarray(images_nhwc))
+        return out["key_features"].astype(jnp.float32)
+
+    def extract_with_attention(
+        self, images_nhwc: np.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (key_tokens (B,1+N,C), key_features NHWC, cls_attention
+        (B, nh, 1+N)) — the pseudo-label generator contract."""
+        out = self._forward(True)(self.params, jnp.asarray(images_nhwc))
+        return (
+            out["key_tokens"].astype(jnp.float32),
+            out["key_features"].astype(jnp.float32),
+            out["cls_attention"].astype(jnp.float32),
+        )

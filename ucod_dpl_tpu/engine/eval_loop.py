@@ -1,0 +1,210 @@
+"""Stage-1 evaluation with LookTwice zoom-in re-inference.
+
+Behavioral counterpart of ``ValLoop_Look_Twice``
+(``engine/runner/loop_UCOD_DPL.py:276-417``): decode cached features,
+upsample + binarise, find connected components; when the largest component is
+small (< look_twice_th), expand each component's bbox (const or dynamic
+scale), crop the *original* image, re-extract DINO features on the crops and
+re-infer, pasting refined predictions back.
+
+TPU-first differences:
+  * the per-bbox crop re-inference is batched — all crops of an image go
+    through the DINO backbone in ONE device call (the reference ping-pongs
+    host<->device per bbox, loop_UCOD_DPL.py:334-351);
+  * crop batches are padded to bucket sizes so the jitted second pass
+    compiles a handful of shapes only.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ucod_dpl_tpu.data.transforms import image_transform
+from ucod_dpl_tpu.models.dba import rev_decoder_forward
+from ucod_dpl_tpu.models.dino import dino_forward
+from ucod_dpl_tpu.ops import interpolate_bilinear
+from ucod_dpl_tpu.utils.components import bounding_rect, connected_components
+from ucod_dpl_tpu.utils.fileio import ImageIO, save_binary_mask
+from ucod_dpl_tpu.utils.metrics import CODStatistics
+
+Image.MAX_IMAGE_PIXELS = None
+
+_CROP_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def _bucket(n: int) -> int:
+    for b in _CROP_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _CROP_BUCKETS[-1] - 1) // _CROP_BUCKETS[-1]) * _CROP_BUCKETS[-1]
+
+
+def expand_bbox(
+    mask: np.ndarray,
+    bbox: Tuple[int, int, int, int],
+    img_width: int,
+    img_height: int,
+    expand_type: str = "const",
+    scale: float = 1.3,
+) -> List[int]:
+    """Grow a component bbox; 'dynamic' scales by sqrt(2 - br/fr)
+    (loop_UCOD_DPL.py:399-417)."""
+    x, y, w, h = bbox
+    if expand_type == "dynamic":
+        fr = mask[y : y + h, x : x + w].sum() / (h * w)
+        br = (h * y) / (mask.shape[-2] * mask.shape[-1])
+        # guard: the reference's math.sqrt raises when br/fr > 2; clamp at 0
+        scale = math.sqrt(max(1.0 - br / fr + 1.0, 0.0)) if fr > 0 else scale
+    new_w = w * scale
+    new_h = h * scale
+    new_x = max(0.0, x - (new_w - w) / 2)
+    if new_x + new_w > img_width:
+        new_x = img_width - new_w
+    new_y = max(0.0, y - (new_h - h) / 2)
+    if new_y + new_h > img_height:
+        new_y = img_height - new_h
+    return [int(new_x), int(new_y), int(new_w), int(new_h)]
+
+
+def resize_bbox(bbox, original_width, original_height, new_width, new_height) -> List[int]:
+    x, y, w, h = bbox
+    ws = new_width / original_width
+    hs = new_height / original_height
+    return [int(x * ws), int(y * hs), int(w * ws), int(h * hs)]
+
+
+class LookTwiceEvaluator:
+    def __init__(self, cfg, runner):
+        self.cfg = cfg
+        self.runner = runner
+        self.img_size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
+        self.feature_size = cfg.model_cfg.feature_size
+        self.look_twice_enabled = cfg.val_cfg.get("look_twice", False)
+        self.look_twice_th = cfg.val_cfg.get("look_twice_th", 0.15)
+        self.expand_type = cfg.val_cfg.get("expand_type", "const")
+        self.save_preds = cfg.val_cfg.get("save_preds", True)
+
+        fe = runner.feature_extractor
+        h = w = self.feature_size
+
+        @jax.jit
+        def first_pass(decoder_params, features):
+            # features: (B, fh, fw, C) cached key features
+            f68 = interpolate_bilinear(
+                jnp.transpose(features, (0, 3, 1, 2)), (h, w)
+            ).transpose(0, 2, 3, 1)
+            fg, _, _ = rev_decoder_forward(decoder_params, f68, with_loss=False)
+            up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), self.img_size)
+            return (jax.nn.sigmoid(up[:, 0]) > 0.5).astype(jnp.float32)  # (B, H, W)
+
+        @jax.jit
+        def crop_pass(decoder_params, backbone_params, images):
+            out = dino_forward(
+                backbone_params,
+                images,
+                fe.config,
+                compute_dtype=fe.compute_dtype,
+            )
+            fg, _, _ = rev_decoder_forward(
+                decoder_params, out["key_features"].astype(jnp.float32), with_loss=False
+            )
+            return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)  # (N, fh, fw)
+
+        self._first_pass = first_pass
+        self._crop_pass = crop_pass
+
+    # ------------------------------------------------------------------
+    def process_preds(self, binary_hw: np.ndarray) -> Optional[List[List[int]]]:
+        """Component analysis -> bboxes to re-look at, or None
+        (loop_UCOD_DPL.py:354-384). ``binary_hw``: (H, W) {0,1}."""
+        h, w = self.img_size
+        num, labels = connected_components(binary_hw)
+        areas = [float((labels == i).sum()) / (h * w) for i in range(1, num + 1)]
+        if not areas:
+            # reference quirk kept: fixed centre box (tuned for 518px inputs)
+            return [[129, 129, 259, 259]]
+        if max(areas) >= self.look_twice_th:
+            return None
+        bboxes = []
+        for i in range(1, num + 1):
+            if areas[i - 1] > 0.01:
+                comp = (labels == i).astype(np.uint8)
+                bbox = bounding_rect(comp)
+                bboxes.append(
+                    expand_bbox(comp, bbox, h, w, expand_type=self.expand_type)
+                )
+        bboxes.sort(key=lambda b: -b[2] * b[3])
+        return bboxes
+
+    def look_twice(
+        self, img_path: str, bboxes: List[List[int]], mask_hw: np.ndarray
+    ) -> np.ndarray:
+        """Crop-zoom-reinfer each bbox and paste the refined mask
+        (loop_UCOD_DPL.py:326-352). Crops are batched through the backbone."""
+        ih, iw = self.img_size
+        img = Image.open(img_path)
+        new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
+
+        crops = []
+        for bbox in bboxes:
+            x, y, w, h = resize_bbox(bbox, iw, ih, img.size[0], img.size[1])
+            cropped = img.crop((x, y, x + w, y + h))
+            crops.append(image_transform(cropped.convert("RGB"), self.img_size))
+
+        n = len(crops)
+        nb = _bucket(n)
+        batch = np.zeros((nb, *crops[0].shape), dtype=np.float32)
+        batch[:n] = np.stack(crops)
+        preds = np.asarray(
+            self._crop_pass(
+                self.runner.decoder_params, self.runner.feature_extractor.params, batch
+            )
+        )[:n]
+
+        for bbox, pred in zip(bboxes, preds):
+            pil = Image.fromarray((pred * 255).astype(np.uint8))
+            pil = pil.resize((bbox[2], bbox[3]))  # PIL default bicubic
+            new_mask.paste(pil, (bbox[0], bbox[1]))
+        return np.asarray(new_mask, dtype=np.float32) / 255.0
+
+    # ------------------------------------------------------------------
+    def run(self) -> dict:
+        stats = CODStatistics()
+        logger = self.runner.logger
+        dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
+        logger.log(f"start validate on {dataset_name}")
+
+        for batch in self.runner.val_dataloader:
+            features = batch["features"]  # (1, fh, fw, C)
+            label = batch["label"][0] if batch["label"][0] is not None else None
+            img_path = batch["img_path"][0]
+
+            binary = np.asarray(self._first_pass(self.runner.decoder_params, features))[0]
+
+            if self.look_twice_enabled:
+                bboxes = self.process_preds(binary)
+                if bboxes is not None:
+                    binary = self.look_twice(img_path, bboxes, binary)
+
+            lh, lw = label.shape[:2]
+            pred_t = interpolate_bilinear(jnp.asarray(binary)[None, None], (lh, lw))
+            pred = (np.asarray(pred_t)[0, 0] > 0.5).astype(np.float64)
+
+            stats.step(label[None, :, :, 0], pred[None])
+            if self.save_preds:
+                out_path = os.path.join(
+                    self.cfg.log_cfg.log_path, "preds", dataset_name, os.path.basename(img_path)
+                )
+                save_binary_mask(pred, out_path)
+
+        result = stats.get_result()
+        logger.log_table({k: [round(v, 4)] for k, v in result.items()})
+        return result

@@ -1,0 +1,49 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's only parallelism is NCCL data-parallel via HuggingFace
+Accelerate (SURVEY §2.4/§5.8).  The TPU-native substrate is a
+``jax.sharding.Mesh`` with a ``data`` axis (DP over ICI/DCN, collectives
+inserted by GSPMD) plus a ``model`` axis reserved for tensor-parallel
+sharding of the ViT backbone on larger topologies.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(mesh_cfg: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """Create a mesh from {axis: size} with -1 meaning 'all remaining'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    cfg = dict(mesh_cfg or {"data": -1, "model": 1})
+    fixed = int(np.prod([v for v in cfg.values() if v != -1])) or 1
+    sizes = {k: (n // fixed if v == -1 else v) for k, v in cfg.items()}
+    total = int(np.prod(list(sizes.values())))
+    if total != n:
+        # shrink the data axis to what divides the device count
+        if "data" in sizes:
+            sizes["data"] = max(1, n // max(1, total // sizes.get("data", 1)))
+        total = int(np.prod(list(sizes.values())))
+    dev_array = np.asarray(devices[:total]).reshape(tuple(sizes.values()))
+    return Mesh(dev_array, tuple(sizes.keys()))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) dim over the 'data' axis."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Device-put a pytree of numpy batch arrays, batch-dim sharded."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )

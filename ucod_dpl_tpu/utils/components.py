@@ -1,0 +1,46 @@
+"""Host-side connected-component analysis (8-connectivity).
+
+Replaces the reference's cv2 ``connectedComponents``/``boundingRect``
+(``loop_UCOD_DPL.py:366-377``) with scipy.ndimage — same partition of the
+mask into components; label *numbering* may differ, which downstream logic
+never depends on (it only uses per-component areas and bounding boxes).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+_STRUCTURE_8 = np.ones((3, 3), dtype=np.int32)
+
+
+def connected_components(mask: np.ndarray) -> Tuple[int, np.ndarray]:
+    """Label 8-connected components of a binary mask.
+
+    Returns (num_labels, labels) where labels==0 is background and
+    num_labels counts the foreground components (cv2 counts background as a
+    label; here the count excludes it)."""
+    labels, num = ndimage.label(np.asarray(mask) > 0, structure=_STRUCTURE_8)
+    return int(num), labels
+
+
+def bounding_rect(binary: np.ndarray) -> Tuple[int, int, int, int]:
+    """(x, y, w, h) bounding box of the nonzero region (cv2.boundingRect)."""
+    ys, xs = np.nonzero(binary)
+    if ys.size == 0:
+        return 0, 0, 0, 0
+    x0, x1 = int(xs.min()), int(xs.max())
+    y0, y1 = int(ys.min()), int(ys.max())
+    return x0, y0, x1 - x0 + 1, y1 - y0 + 1
+
+
+def component_stats(labels: np.ndarray, num: int) -> List[dict]:
+    """Per-component area and bbox, akin to cv2.connectedComponentsWithStats."""
+    out = []
+    for i in range(1, num + 1):
+        comp = labels == i
+        x, y, w, h = bounding_rect(comp)
+        out.append({"label": i, "area": int(comp.sum()), "bbox": (x, y, w, h)})
+    return out
