@@ -106,33 +106,36 @@ def test_decoder_checkpoint_roundtrip(tmp_path):
 
 
 def _torch_dis_to_params(torch_dis, use_features: bool):
-    """Convert a reference Discriminator state into our pytree."""
+    """Convert a reference Discriminator state into our (params, stats)."""
     sd = {k: v.detach().numpy() for k, v in torch_dis.state_dict().items()}
 
     def block(prefix):
-        return {
-            "conv_w": np.transpose(sd[f"{prefix}.layers.0.weight"], (2, 3, 1, 0)),
-            "bn_scale": sd[f"{prefix}.layers.1.weight"],
-            "bn_bias": sd[f"{prefix}.layers.1.bias"],
-            "bn_mean": sd[f"{prefix}.layers.1.running_mean"],
-            "bn_var": sd[f"{prefix}.layers.1.running_var"],
+        p = {
+            "conv_w": jnp.asarray(np.transpose(sd[f"{prefix}.layers.0.weight"], (2, 3, 1, 0))),
+            "bn_scale": jnp.asarray(sd[f"{prefix}.layers.1.weight"]),
+            "bn_bias": jnp.asarray(sd[f"{prefix}.layers.1.bias"]),
         }
+        s = {
+            "mean": jnp.asarray(sd[f"{prefix}.layers.1.running_mean"]),
+            "var": jnp.asarray(sd[f"{prefix}.layers.1.running_var"]),
+        }
+        return p, s
 
+    mask_p, mask_s = block("maskConv")
+    c0_p, c0_s = block("convs.0")
+    c1_p, c1_s = block("convs.1")
     params = {
-        "use_features": use_features,
-        "mask_conv": block("maskConv"),
-        "convs": [block("convs.0"), block("convs.1")],
-        "linear_w": sd["linear.weight"].T,
-        "linear_b": sd["linear.bias"],
+        "mask_conv": mask_p,
+        "convs": [c0_p, c1_p],
+        "linear_w": jnp.asarray(sd["linear.weight"].T),
+        "linear_b": jnp.asarray(sd["linear.bias"]),
     }
+    stats = {"mask_conv": mask_s, "convs": [c0_s, c1_s]}
     if use_features:
-        params["feature_conv"] = block("featureConv")
-    return {
-        k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
-        if not isinstance(v, (list, dict))
-        else v
-        for k, v in params.items()
-    }
+        f_p, f_s = block("featureConv")
+        params["feature_conv"] = f_p
+        stats["feature_conv"] = f_s
+    return params, stats
 
 
 @pytest.mark.parametrize("use_features", [False, True])
@@ -144,7 +147,7 @@ def test_discriminator_parity(ref_modules, use_features):
     torch_dis = dis_mod.Discriminator(cfg)
     torch_dis.train()  # reference only ever runs the discriminator in train mode
 
-    params = _torch_dis_to_params(torch_dis, use_features)
+    params, stats = _torch_dis_to_params(torch_dis, use_features)
 
     rng = np.random.default_rng(1)
     mask = rng.random((4, 1, 68, 68)).astype(np.float32)
@@ -153,19 +156,28 @@ def test_discriminator_parity(ref_modules, use_features):
     with torch.no_grad():
         ref_out = torch_dis(torch.from_numpy(mask), torch.from_numpy(feats)).numpy()
 
-    ours = discriminator_forward(
+    ours, new_stats = discriminator_forward(
         params,
+        stats,
         jnp.asarray(np.transpose(mask, (0, 2, 3, 1))),
         jnp.asarray(np.transpose(feats, (0, 2, 3, 1))),
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-5)
 
+    # BN running stats updated the torch way (momentum 0.1, unbiased var)
+    ref_mean = torch_dis.maskConv.layers[1].running_mean.numpy()
+    np.testing.assert_allclose(
+        np.asarray(new_stats["mask_conv"]["mean"]), ref_mean, rtol=1e-4, atol=1e-6
+    )
+
 
 def test_discriminator_init_shapes():
     import jax
 
-    params = init_discriminator(jax.random.PRNGKey(0), feature_size=68, use_features=False)
+    params, stats = init_discriminator(
+        jax.random.PRNGKey(0), feature_size=68, use_features=False
+    )
     mask = jnp.zeros((2, 68, 68, 1))
-    out = discriminator_forward(params, mask)
+    out, _ = discriminator_forward(params, stats, mask)
     assert out.shape == (2, 1)
     assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)

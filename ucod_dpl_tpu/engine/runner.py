@@ -67,7 +67,7 @@ class Runner:
             # reference constructs two separate RevDecoders (uscod.py:13-14)
             self.decoder_params = init_rev_decoder(k1, mc.dim)
             self.decoder_ema_params = init_rev_decoder(k2, mc.dim)
-        self.discriminator_params = init_discriminator(
+        self.discriminator_params, self.discriminator_stats = init_discriminator(
             jax.random.PRNGKey(self.cfg.get("seed", 42) + 1),
             feature_size=mc.feature_size,
             feature_dim=mc.dim,

@@ -1,0 +1,204 @@
+"""Stage-1 training loop — host-side epoch orchestration.
+
+Counterpart of ``TrainLoop`` (``engine/runner/loop_UCOD_DPL.py:36-272``):
+epoch loop with discriminator inter-training every ``dis_intertrain`` epochs,
+the finetune switch in the last ``-start_finetune`` epochs (fresh optimizer,
+adversarial term off, EMA-ramp reset), periodic checkpointing and LookTwice
+validation with best-MAE tracking.
+
+Device work happens in the two jitted steps from :mod:`train_step`; batches
+are sharded over the mesh's ``data`` axis before each call.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucod_dpl_tpu.parallel import data_sharding, replicate
+
+from .train_step import (
+    TrainState,
+    make_discriminator_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class TrainLoop:
+    def __init__(self, cfg, runner):
+        self.cfg = cfg
+        self.runner = runner
+        tc = cfg.train_cfg
+        self.max_epoch = tc.max_epoch
+        self.start_epoch = tc.get("start_epoch", 0)
+        self.start_finetune = tc.get("start_finetune", -5)
+        self.dis_intertrain = tc.get("dis_intertrain", 2)
+        self.dis_epochs = tc.get("dis_epoch", 1)
+        self.merge_method = tc.get("merge_method", "dis")
+        self.log_interval = cfg.log_cfg.get("log_interval", 50)
+
+        vc = cfg.val_cfg
+        self.enable_val = vc.get("enable_val", True)
+        self.val_interval = vc.get("val_interval", 5)
+        self.val_start = (
+            self.max_epoch + vc.get("start_val", -50)
+            if vc.get("start_val", -50) < 0
+            else vc.get("start_val")
+        )
+        sc = tc.get("save_cfg", {})
+        self.save_interval = sc.get("save_interval", 5)
+        self.save_start = (
+            self.max_epoch + sc.get("start_save", -50)
+            if sc.get("start_save", -50) < 0
+            else sc.get("start_save")
+        )
+
+        self.optimizer = make_optimizer(
+            tc.lr0, tc.get("step_lr_gamma", 0.95), tc.get("step_lr_size", 25)
+        )
+        self.dis_optimizer = make_optimizer(
+            tc.get("dis_lr0", 1e-3),
+            tc.get("dis_step_lr_gamma", 0.95),
+            tc.get("dis_step_lr_size", 25),
+        )
+        self._train_step = jax.jit(
+            make_train_step(cfg, self.optimizer), donate_argnums=(0,)
+        )
+        self._dis_step = jax.jit(
+            make_discriminator_step(cfg, self.dis_optimizer), donate_argnums=(0,)
+        )
+
+        self.state = TrainState(
+            decoder=runner.decoder_params,
+            decoder_ema=runner.decoder_ema_params,
+            opt_state=self.optimizer.init(runner.decoder_params),
+            dis_params=runner.discriminator_params,
+            dis_stats=runner.discriminator_stats,
+            dis_opt_state=self.dis_optimizer.init(runner.discriminator_params),
+            ema_step=jnp.zeros((), jnp.int32),
+        )
+        self.finetune = False
+        self.best_mae = float("inf")
+        self.best_result: Optional[Dict[str, float]] = None
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch):
+        mesh = self.runner.mesh
+        features = np.asarray(batch["features"], dtype=np.float32)
+        plabels = batch["pseudo_label"]
+        if isinstance(plabels, list) or plabels is None or any(
+            p is None for p in (plabels if isinstance(plabels, list) else [plabels])
+        ):
+            raise RuntimeError(
+                "Training requires a pseudo-label cache; run "
+                "scripts/generate_pseudo_label.py first."
+            )
+        plabels = np.asarray(plabels, dtype=np.float32)
+        bs = features.shape[0]
+        return (
+            jax.device_put(features, data_sharding(mesh, features.ndim, batch_size=bs)),
+            jax.device_put(plabels, data_sharding(mesh, plabels.ndim, batch_size=bs)),
+        )
+
+    def _sync_runner_params(self) -> None:
+        self.runner.decoder_params = self.state.decoder
+        self.runner.decoder_ema_params = self.state.decoder_ema
+        self.runner.discriminator_params = self.state.dis_params
+        self.runner.discriminator_stats = self.state.dis_stats
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        logger = self.runner.logger
+        logger.log(f"Starting training: {self.max_epoch} epochs")
+        epoch = self.start_epoch
+        while epoch < self.max_epoch:
+            if not self.finetune and epoch == self.max_epoch + self.start_finetune:
+                self._enter_finetune()
+
+            if (
+                self.merge_method == "dis"
+                and not self.finetune
+                and epoch % self.dis_intertrain == 0
+            ):
+                self._train_discriminator(epoch)
+
+            self._run_epoch(epoch)
+            epoch += 1
+
+            if epoch >= self.save_start and epoch % self.save_interval == 0:
+                self._sync_runner_params()
+                self.runner.save_checkpoint(epoch)
+
+            if (
+                self.enable_val
+                and epoch >= self.val_start
+                and epoch % self.val_interval == 0
+            ):
+                self._sync_runner_params()
+                result = self.runner.launch_val_look_twice()
+                self._update_best(result)
+
+        self._sync_runner_params()
+        if self.best_result is not None:
+            logger.log(f"Best result: {self.best_result}")
+
+    def _enter_finetune(self) -> None:
+        """Finetune switch (loop:100-103, runner.start_finetune): fresh
+        optimizer states (LR schedules restart at lr0), EMA ramp reset,
+        adversarial term disabled."""
+        self.finetune = True
+        self.runner.logger.log("Entering finetune phase: optimizers rebuilt, APM off")
+        self.state = self.state._replace(
+            opt_state=self.optimizer.init(self.state.decoder),
+            dis_opt_state=self.dis_optimizer.init(self.state.dis_params),
+            ema_step=jnp.zeros((), jnp.int32),
+        )
+
+    def _run_epoch(self, epoch: int) -> None:
+        logger = self.runner.logger
+        adv = 0.0 if self.finetune else 1.0
+        t0 = time.perf_counter()
+        n = 0
+        last_aux = None
+        for batch in self.runner.train_dataloader:
+            features, plabels = self._device_batch(batch)
+            self.state, aux = self._train_step(
+                self.state, features, plabels, jnp.float32(epoch), jnp.float32(adv)
+            )
+            last_aux = aux
+            n += 1
+            if n % max(self.log_interval, 1) == 0:
+                logger.log(
+                    f"epoch {epoch} iter {n}: loss={float(aux['loss']):.4f} "
+                    f"dis={float(aux['dis_loss']):.4f} w={float(aux['merge_weight']):.2f}"
+                )
+        dt = time.perf_counter() - t0
+        if last_aux is not None:
+            logger.log(
+                f"epoch {epoch} done: {n} iters in {dt:.1f}s "
+                f"({n / max(dt, 1e-9):.2f} it/s), loss={float(last_aux['loss']):.4f}"
+            )
+
+    def _train_discriminator(self, epoch: int) -> None:
+        logger = self.runner.logger
+        for _ in range(self.dis_epochs):
+            losses = []
+            for batch in self.runner.train_dataloader:
+                features, plabels = self._device_batch(batch)
+                self.state, aux = self._dis_step(self.state, features, plabels)
+                losses.append(float(aux["dis_train_loss"]))
+            logger.log(
+                f"epoch {epoch}: discriminator pass mean loss {np.mean(losses):.4f}"
+            )
+
+    def _update_best(self, result: Dict[str, float]) -> None:
+        if result["MAE"] < self.best_mae:
+            self.best_mae = result["MAE"]
+            self.best_result = result
+            self.runner.logger.log("best result:")
+            self.runner.logger.log_table({k: [round(v, 4)] for k, v in result.items()})

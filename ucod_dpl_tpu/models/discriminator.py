@@ -7,13 +7,15 @@ Every ConvBlock is conv(bias-free) + batch-norm + leaky-relu(0.1).
 
 Batch norm runs in batch-statistics mode: the reference only ever calls the
 discriminator in train mode (it is unused at eval), so normalisation always
-uses the current batch's biased moments.  Running statistics are carried in
-the params purely for checkpoint compatibility and updated functionally.
+uses the current batch's biased moments.  Trainable parameters and BN running
+statistics live in separate pytrees (``params`` / ``stats``) so the optimizer
+never touches the running moments; stats are carried purely for checkpoint
+compatibility.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,23 +29,28 @@ _BN_MOMENTUM = 0.1
 def _conv_init(key, k: int, c_in: int, c_out: int):
     """torch Conv2d kaiming-uniform(a=sqrt(5)) for a k x k kernel, HWIO."""
     fan_in = c_in * k * k
-    bound = jnp.sqrt(6.0 / ((1 + 5.0) * fan_in))  # gain^2=2/(1+a^2)=1/3 -> sqrt(3*1/3/fan)
+    bound = jnp.sqrt(6.0 / ((1 + 5.0) * fan_in))
     return jax.random.uniform(
         key, (k, k, c_in, c_out), minval=-bound, maxval=bound, dtype=jnp.float32
     )
 
 
-def _init_conv_block(key, k: int, c_in: int, c_out: int) -> Dict[str, Any]:
-    return {
+def _init_conv_block(key, k: int, c_in: int, c_out: int):
+    params = {
         "conv_w": _conv_init(key, k, c_in, c_out),
         "bn_scale": jnp.ones((c_out,), jnp.float32),
         "bn_bias": jnp.zeros((c_out,), jnp.float32),
-        "bn_mean": jnp.zeros((c_out,), jnp.float32),
-        "bn_var": jnp.ones((c_out,), jnp.float32),
     }
+    stats = {
+        "mean": jnp.zeros((c_out,), jnp.float32),
+        "var": jnp.ones((c_out,), jnp.float32),
+    }
+    return params, stats
 
 
-def _conv_block(params: Dict[str, Any], x: jnp.ndarray, stride: int) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+def _conv_block(
+    params: Dict[str, Any], stats: Dict[str, Any], x: jnp.ndarray, stride: int
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     y = jax.lax.conv_general_dilated(
         x,
         params["conv_w"],
@@ -62,9 +69,8 @@ def _conv_block(params: Dict[str, Any], x: jnp.ndarray, stride: int) -> Tuple[jn
     n = x.shape[0] * y.shape[1] * y.shape[2]
     unbiased = var * (n / max(n - 1, 1))
     new_stats = {
-        **params,
-        "bn_mean": (1 - _BN_MOMENTUM) * params["bn_mean"] + _BN_MOMENTUM * mean,
-        "bn_var": (1 - _BN_MOMENTUM) * params["bn_var"] + _BN_MOMENTUM * unbiased,
+        "mean": (1 - _BN_MOMENTUM) * stats["mean"] + _BN_MOMENTUM * jax.lax.stop_gradient(mean),
+        "var": (1 - _BN_MOMENTUM) * stats["var"] + _BN_MOMENTUM * jax.lax.stop_gradient(unbiased),
     }
     return y, new_stats
 
@@ -74,20 +80,20 @@ def init_discriminator(
     feature_size: int = 68,
     feature_dim: int = 768,
     use_features: bool = False,
-) -> Dict[str, Any]:
+):
+    """Returns (params, stats) pytrees."""
     keys = jax.random.split(key, 5)
     indim = (feature_dim if use_features else 0) + 32
     outdim = indim // 2
-    params: Dict[str, Any] = {
-        "use_features": use_features,
-        "mask_conv": _init_conv_block(keys[0], 3, 1, 32),
-        "convs": [
-            _init_conv_block(keys[2], 3, indim, outdim),
-            _init_conv_block(keys[3], 3, indim // 2, outdim // 2),
-        ],
-    }
+    mask_p, mask_s = _init_conv_block(keys[0], 3, 1, 32)
+    c0_p, c0_s = _init_conv_block(keys[2], 3, indim, outdim)
+    c1_p, c1_s = _init_conv_block(keys[3], 3, indim // 2, outdim // 2)
+    params: Dict[str, Any] = {"mask_conv": mask_p, "convs": [c0_p, c1_p]}
+    stats: Dict[str, Any] = {"mask_conv": mask_s, "convs": [c0_s, c1_s]}
     if use_features:
-        params["feature_conv"] = _init_conv_block(keys[1], 3, feature_dim, feature_dim)
+        f_p, f_s = _init_conv_block(keys[1], 3, feature_dim, feature_dim)
+        params["feature_conv"] = f_p
+        stats["feature_conv"] = f_s
     flat = (outdim // 2) * ((feature_size + 3) // 4) ** 2
     wkey, bkey = jax.random.split(keys[4])
     bound = 1.0 / jnp.sqrt(flat)
@@ -97,40 +103,36 @@ def init_discriminator(
     params["linear_b"] = jax.random.uniform(
         bkey, (1,), minval=-bound, maxval=bound, dtype=jnp.float32
     )
-    return params
+    return params, stats
 
 
 def discriminator_forward(
     params: Dict[str, Any],
+    stats: Dict[str, Any],
     mask: jnp.ndarray,
-    features: jnp.ndarray | None = None,
-    *,
-    update_stats: bool = False,
+    features: Optional[jnp.ndarray] = None,
 ):
     """Score masks as real/fake.
 
     Args:
-      params: discriminator pytree from :func:`init_discriminator`.
+      params/stats: pytrees from :func:`init_discriminator`.
       mask: (B, H, W, 1) mask (NHWC).
-      features: optional (B, H, W, feature_dim) when ``use_features``.
-      update_stats: also return params with refreshed BN running stats.
+      features: optional (B, H, W, feature_dim) when the feature branch exists.
 
     Returns:
-      (B, 1) sigmoid probabilities — and updated params if requested.
+      ((B, 1) sigmoid probabilities, refreshed stats pytree).
     """
-    x, mc = _conv_block(params["mask_conv"], mask, stride=1)
-    new_params = dict(params)
-    new_params["mask_conv"] = mc
-    if params["use_features"]:
-        f, fc = _conv_block(params["feature_conv"], features, stride=1)
-        new_params["feature_conv"] = fc
+    use_features = "feature_conv" in params
+    x, mc_s = _conv_block(params["mask_conv"], stats["mask_conv"], mask, stride=1)
+    new_stats = {"mask_conv": mc_s, "convs": []}
+    if use_features:
+        f, fc_s = _conv_block(params["feature_conv"], stats["feature_conv"], features, stride=1)
+        new_stats["feature_conv"] = fc_s
         x = jnp.concatenate([x, f], axis=-1)
 
-    new_blocks = []
-    for blk in params["convs"]:
-        x, nb = _conv_block(blk, x, stride=2)
-        new_blocks.append(nb)
-    new_params["convs"] = new_blocks
+    for blk_p, blk_s in zip(params["convs"], stats["convs"]):
+        x, nb_s = _conv_block(blk_p, blk_s, x, stride=2)
+        new_stats["convs"].append(nb_s)
 
     # torch flattens NCHW (channel-major); transpose before flattening so the
     # linear layer weights map 1:1 onto reference checkpoints
@@ -140,7 +142,4 @@ def discriminator_forward(
         jnp.einsum("bf,fo->bo", x, params["linear_w"], precision=jax.lax.Precision.HIGHEST)
         + params["linear_b"]
     )
-    probs = jax.nn.sigmoid(logits)
-    if update_stats:
-        return probs, new_params
-    return probs
+    return jax.nn.sigmoid(logits), new_stats

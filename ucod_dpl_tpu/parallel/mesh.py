@@ -33,8 +33,14 @@ def build_mesh(mesh_cfg: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(sizes.keys()))
 
 
-def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) dim over the 'data' axis."""
+def data_sharding(mesh: Mesh, ndim: int, batch_size: Optional[int] = None) -> NamedSharding:
+    """Shard the leading (batch) dim over the 'data' axis.
+
+    When ``batch_size`` is given and does not divide the data-axis size, the
+    array is replicated instead (keeps small/ragged batches working on wide
+    meshes — e.g. bs=1 eval on an 8-device mesh)."""
+    if batch_size is not None and batch_size % mesh.shape.get("data", 1) != 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
@@ -45,5 +51,8 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh):
     """Device-put a pytree of numpy batch arrays, batch-dim sharded."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+        lambda x: jax.device_put(
+            x, data_sharding(mesh, np.ndim(x), batch_size=np.shape(x)[0] if np.ndim(x) else None)
+        ),
+        batch,
     )
