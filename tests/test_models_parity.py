@@ -106,8 +106,11 @@ def test_decoder_checkpoint_roundtrip(tmp_path):
 
 
 def _torch_dis_to_params(torch_dis, use_features: bool):
-    """Convert a reference Discriminator state into our (params, stats)."""
-    sd = {k: v.detach().numpy() for k, v in torch_dis.state_dict().items()}
+    """Convert a reference Discriminator state into our (params, stats).
+
+    Copies are essential: CPU JAX zero-copies numpy views, and torch updates
+    BN buffers in place during forward."""
+    sd = {k: v.detach().numpy().copy() for k, v in torch_dis.state_dict().items()}
 
     def block(prefix):
         p = {
