@@ -1,0 +1,87 @@
+"""CORAL stage-2 end-to-end tests on the synthetic tiny dataset, plus
+parity of the 2x2 m-patch stitcher."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ucod_dpl_tpu.config import CfgNode
+from ucod_dpl_tpu.engine.coral_loop import concate_m_patch_preds
+from ucod_dpl_tpu.engine.runner import LocalRefineRunner
+
+from test_eval_e2e import DIM, _make_synthetic_dataset, _tiny_cfg
+
+
+def test_concate_m_patch_preds_matches_reference_semantics():
+    """2x2 stitching with stride 34 over a 102 canvas (loop_CORAL.py:62-96)."""
+    rng = np.random.default_rng(0)
+    preds = rng.standard_normal((2, 4, 68, 68, 1)).astype(np.float32)
+    out = np.asarray(concate_m_patch_preds(jnp.asarray(preds)))
+    # manual reference computation
+    canvas = np.zeros((2, 102, 102, 1), np.float32)
+    counter = np.zeros_like(canvas)
+    for idx, (i, j) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        canvas[:, i * 34 : i * 34 + 68, j * 34 : j * 34 + 68] += preds[:, idx]
+        counter[:, i * 34 : i * 34 + 68, j * 34 : j * 34 + 68] += 1
+    np.testing.assert_allclose(out, canvas / (counter + 1e-6), rtol=1e-6)
+
+
+def _coral_cfg(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.model_cfg.window_size = 3
+    cfg.model_cfg.window_length = 8
+    cfg.model_cfg.threshold = 0.0015
+    cfg.train_cfg = CfgNode(
+        {
+            "max_epoch": 1,
+            "lr0": 1e-4,
+            "step_lr_size": 2,
+            "step_lr_gamma": 0.95,
+            "start_finetune": -5,
+        }
+    )
+    cfg.val_cfg.val_interval = 100  # no val during tiny training
+    cfg.val_cfg.start_val = 100
+    cfg.dataset_cfg.valset_cfg.use_cache = True
+    cfg.dataset_cfg.valset_cfg.require_m_patches = False
+    cfg.dataset_cfg.trainset_cfg.use_cache = True
+    cfg.dataset_cfg.trainset_cfg.require_m_patches = False
+    cfg.dataset_cfg.trainset_cfg.require_label = True
+    cfg.dataset_cfg.trainloader_cfg.batch_size = 2
+    return cfg
+
+
+def test_coral_eval_e2e(tmp_path):
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=3)
+    cfg = _coral_cfg(tmp_path)
+    runner = LocalRefineRunner(cfg, mode="eval")
+    result = runner.launch_val()
+    for key in ["SMeasure", "MAE", "WFM"]:
+        assert np.isfinite(result[key])
+    preds_dir = os.path.join(cfg.log_cfg.log_path, "preds", "TINY")
+    assert len(os.listdir(preds_dir)) == 3
+
+
+def test_coral_train_e2e(tmp_path):
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=4)
+    cfg = _coral_cfg(tmp_path)
+    runner = LocalRefineRunner(cfg, mode="train")
+    before = np.asarray(runner.refiner_params["csf"]["mask_dec"]["w"]).copy()
+    runner.launch_train()
+    after = np.asarray(runner.refiner_params["csf"]["mask_dec"]["w"])
+    assert np.all(np.isfinite(after))
+    assert not np.allclose(before, after)
+    # refiner checkpoint saved and reloadable
+    import glob
+
+    from ucod_dpl_tpu.models.udlr import load_refiner_checkpoint
+
+    ckpts = glob.glob(os.path.join(runner.log_path, "refiner_ckp", "*.safetensors"))
+    assert ckpts
+    loaded = load_refiner_checkpoint(ckpts[0])
+    np.testing.assert_allclose(
+        np.asarray(loaded["csf"]["mask_dec"]["w"]), after, rtol=1e-6
+    )

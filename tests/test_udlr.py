@@ -1,0 +1,256 @@
+"""UDLR SparseRefiner parity vs the reference torch implementation.
+
+The reference modules are loaded from /root/reference with a minimal timm
+stub (only DropPath/to_2tuple/trunc_normal_ are touched, none on the live
+path).  Parity covers the full refiner forward (selector -> CSF -> scatter ->
+gated ensemble), the distillation loss, and the checkpoint name mapping
+(torch state dict -> safetensors -> our loader)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucod_dpl_tpu.models.udlr import (
+    RefinerOutput,
+    init_sparse_refiner,
+    load_refiner_checkpoint,
+    refiner_distillation_loss,
+    save_refiner_checkpoint,
+    sparse_refiner_forward,
+)
+
+from conftest import REFERENCE_ROOT, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+DIM = 64
+WS = 3
+H = W = 14
+THRESHOLD = 0.0015
+
+
+def _stub_timm():
+    if "timm" in sys.modules:
+        return
+    import importlib.machinery
+
+    import torch.nn as nn
+
+    layers = types.ModuleType("timm.models.layers")
+    layers.DropPath = nn.Identity
+    layers.to_2tuple = lambda x: (x, x) if isinstance(x, int) else tuple(x)
+    layers.trunc_normal_ = lambda *a, **k: None
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda f: f
+    models = types.ModuleType("timm.models")
+    models.layers = layers
+    models.registry = registry
+    timm = types.ModuleType("timm")
+    timm.models = models
+    for name, mod in [
+        ("timm", timm),
+        ("timm.models", models),
+        ("timm.models.layers", layers),
+        ("timm.models.registry", registry),
+    ]:
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = mod
+
+
+@pytest.fixture(scope="module")
+def ref_refiner():
+    _stub_timm()
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import importlib
+
+        # the `models` package __init__ needs torchvision; load modules directly
+        import importlib.util
+
+        def load(name, rel):
+            spec = importlib.util.spec_from_file_location(
+                name, os.path.join(REFERENCE_ROOT, rel)
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+            return mod
+
+        mlp = load("models.modules.mlp", "models/modules/mlp.py")
+        asr = load("models.modules.ASR", "models/modules/ASR.py")
+        csf = load("models.modules.CSF", "models/modules/CSF.py")
+        hre = load("models.modules.HRE", "models/modules/HRE.py")
+        ge = load("models.modules.GE_pix_level", "models/modules/GE_pix_level.py")
+        udlr = load("models.UDLR", "models/UDLR.py")
+        yield udlr
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+
+def _build_pair(ref_refiner, tmp_path, seed=0):
+    """Torch refiner + our params loaded from its checkpoint."""
+    import torch
+    from safetensors.torch import save_file
+
+    torch.manual_seed(seed)
+    model = ref_refiner.SparseRefiner(
+        config=None, window_size=WS, threshold=THRESHOLD, dim=DIM
+    ).eval()
+    # reference CSF hardcodes dim=768 defaults; rebuild pieces at DIM
+    sd = {k: v.contiguous() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "refiner.safetensors")
+    save_file(sd, path)
+    params = load_refiner_checkpoint(path, num_heads=8)
+    return model, params, path
+
+
+@pytest.fixture(scope="module")
+def small_ref(ref_refiner, tmp_path_factory):
+    import torch
+
+    from ucod_dpl_tpu.models import udlr as our_udlr
+
+    # reference modules default to dim=768; instantiate CSF at DIM by patching
+    # the default args through the constructors
+    torch.manual_seed(0)
+    model = ref_refiner.SparseRefiner(None, WS, THRESHOLD, dim=DIM)
+    model.HRE.CSF = sys.modules["models.modules.CSF"].CSF(dim=DIM)
+    model.eval()
+    tmp = tmp_path_factory.mktemp("ckpt")
+    from safetensors.torch import save_file
+
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()},
+              str(tmp / "refiner.safetensors"))
+    params = load_refiner_checkpoint(str(tmp / "refiner.safetensors"), num_heads=8)
+    return model, params, str(tmp / "refiner.safetensors")
+
+
+def _random_inputs(seed=1, b=2):
+    rng = np.random.default_rng(seed)
+    l_feat = rng.standard_normal((b, H, W, DIM)).astype(np.float32)
+    h_feat = rng.standard_normal((b, WS * WS, H, W, DIM)).astype(np.float32)
+    preds = rng.standard_normal((b, H, W, 1)).astype(np.float32) * 2  # logits
+    return l_feat, h_feat, preds
+
+
+def test_refiner_forward_parity(small_ref):
+    import torch
+
+    model, params, _ = small_ref
+    l_feat, h_feat, preds = _random_inputs()
+
+    with torch.no_grad():
+        out_t, loss_t, opt_t = model(
+            torch.from_numpy(np.transpose(l_feat, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(h_feat, (0, 1, 4, 2, 3))),
+            torch.from_numpy(np.transpose(preds, (0, 3, 1, 2))),
+        )
+
+    out_j = sparse_refiner_forward(
+        params,
+        jnp.asarray(l_feat),
+        jnp.asarray(h_feat),
+        jnp.asarray(preds),
+        window_size=WS,
+        threshold=THRESHOLD,
+    )
+
+    # selection masks agree
+    np.testing.assert_array_equal(
+        np.asarray(out_j.mask), opt_t["mask"].numpy()[:, 0]
+    )
+    assert opt_t["mask"].sum() > 0  # inputs actually select windows
+    # scattered window canvas
+    np.testing.assert_allclose(
+        np.asarray(out_j.h_preds)[..., 0],
+        opt_t["h_preds"].numpy()[:, 0],
+        rtol=1e-3,
+        atol=1e-4,
+    )
+    # fused output
+    np.testing.assert_allclose(
+        np.asarray(out_j.outputs)[..., 0], out_t.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_refiner_forward_parity_partial_selection(small_ref):
+    """Confident regions produce unselected windows; the masked fixed-capacity
+    path must still match the ragged reference."""
+    import torch
+
+    model, params, _ = small_ref
+    l_feat, h_feat, preds = _random_inputs(seed=5)
+    preds[:, : 2 * H // 3, :, :] = 20.0  # zero-entropy rows -> windows skipped
+    with torch.no_grad():
+        out_t, _, opt_t = model(
+            torch.from_numpy(np.transpose(l_feat, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(h_feat, (0, 1, 4, 2, 3))),
+            torch.from_numpy(np.transpose(preds, (0, 3, 1, 2))),
+        )
+    out_j = sparse_refiner_forward(
+        params, jnp.asarray(l_feat), jnp.asarray(h_feat), jnp.asarray(preds),
+        window_size=WS, threshold=THRESHOLD,
+    )
+    mask_t = opt_t["mask"].numpy()[:, 0]
+    assert 0 < mask_t.sum() < mask_t.size  # genuinely partial
+    np.testing.assert_array_equal(np.asarray(out_j.mask), mask_t)
+    np.testing.assert_allclose(
+        np.asarray(out_j.h_preds)[..., 0], opt_t["h_preds"].numpy()[:, 0],
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j.outputs)[..., 0], out_t.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_refiner_distillation_loss_parity(small_ref):
+    import torch
+
+    model, params, _ = small_ref
+    l_feat, h_feat, preds = _random_inputs(seed=2)
+    rng = np.random.default_rng(3)
+    h_targets = (rng.random((2 * WS * WS, H, W, 1)) > 0.5).astype(np.float32)
+
+    model.train()
+    with torch.no_grad():
+        _, loss_t, opt_t = model(
+            torch.from_numpy(np.transpose(l_feat, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(h_feat, (0, 1, 4, 2, 3))),
+            torch.from_numpy(np.transpose(preds, (0, 3, 1, 2))),
+            h_targets=torch.from_numpy(np.transpose(h_targets, (0, 3, 1, 2))),
+        )
+    model.eval()
+
+    out_j = sparse_refiner_forward(
+        params,
+        jnp.asarray(l_feat),
+        jnp.asarray(h_feat),
+        jnp.asarray(preds),
+        window_size=WS,
+        threshold=THRESHOLD,
+    )
+    loss_j = refiner_distillation_loss(
+        out_j, jnp.asarray(preds), jnp.asarray(h_targets), window_size=WS
+    )
+    assert np.isclose(float(loss_j), float(loss_t), rtol=1e-4, atol=1e-6)
+
+
+def test_refiner_checkpoint_roundtrip(tmp_path):
+    params = init_sparse_refiner(jax.random.PRNGKey(0), dim=DIM)
+    path = str(tmp_path / "r.safetensors")
+    save_refiner_checkpoint(path, params)
+    loaded = load_refiner_checkpoint(path)
+    for keys in [("csf", "attn", "in_proj_w"), ("csf", "dw_conv", "w"),
+                 ("csf", "mask_dec", "w"), ("ge", "fuser0", "w"), ("ge", "alpha")]:
+        a, b = params, loaded
+        for k in keys:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -1,0 +1,298 @@
+"""CORAL stage-2 loops: UDLR evaluation and refiner training.
+
+Evaluation follows ``LocalRefineValidationLoop`` (``engine/runner/
+loop_CORAL.py:41-341``): multi-resolution features, optional 2x2 m-patch
+prediction stitching (68px windows, stride 34 -> 102px canvas,
+``concate_preds`` loop_CORAL.py:62-96), centre-crop fallback when the
+foreground ratio is < 0.1%, SparseRefiner forward, centre-pad on cropped
+samples, metrics + PNG masks.
+
+Training: the reference ships only an empty stub
+(``loop_CORAL.py:38-39`` — CORAL training was never released).  This trainer
+completes the capability using the IoU-weighted distillation loss that *is*
+shipped (``SparseRefiner.cal_ex_loss``, UDLR.py:52-75): window targets are
+the frozen stage-1 decoder's predictions on each window's high-res features,
+so the refiner distills toward the decoder evaluated at higher resolution —
+our design choice, documented here, since upstream never defined one.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ucod_dpl_tpu.models.dba import rev_decoder_forward
+from ucod_dpl_tpu.models.udlr import (
+    refiner_distillation_loss,
+    sparse_refiner_forward,
+)
+from ucod_dpl_tpu.ops import interpolate_bilinear
+from ucod_dpl_tpu.utils.fileio import save_binary_mask
+from ucod_dpl_tpu.utils.metrics import CODStatistics
+
+from .train_step import make_optimizer
+
+
+def _nchw(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _resize_nhwc(x, size):
+    return _nhwc(interpolate_bilinear(_nchw(x), size))
+
+
+def concate_m_patch_preds(preds: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4, 68, 68, 1) 2x2 patch predictions -> (B, 102, 102, 1) with
+    overlap averaging (stride 34), as loop_CORAL.concate_preds."""
+    b = preds.shape[0]
+    canvas = jnp.zeros((b, 102, 102, 1), preds.dtype)
+    counter = jnp.zeros((b, 102, 102, 1), preds.dtype)
+    idx = 0
+    for i in range(2):
+        for j in range(2):
+            y, x = i * 34, j * 34
+            canvas = canvas.at[:, y : y + 68, x : x + 68].add(preds[:, idx])
+            counter = counter.at[:, y : y + 68, x : x + 68].add(1.0)
+            idx += 1
+    return canvas / (counter + 1e-6)
+
+
+class LocalRefineEvaluator:
+    def __init__(self, cfg, runner):
+        self.cfg = cfg
+        self.runner = runner
+        mc = cfg.model_cfg
+        self.window_length = mc.window_length
+        self.window_size = mc.get("window_size", 3)
+        self.threshold = mc.get("threshold", 0.0015)
+        self.require_m = cfg.dataset_cfg.valset_cfg.get("require_m_patches", False)
+        self.save_preds = cfg.val_cfg.get("save_preds", True)
+
+        wl = self.window_length
+
+        @jax.jit
+        def decoder_fwd(dec, feats):
+            fg, _, _ = rev_decoder_forward(dec, feats, with_loss=False)
+            return fg
+
+        @partial(jax.jit, static_argnames=())
+        def refine(refiner_params, l_feat, h_feat, preds):
+            out = sparse_refiner_forward(
+                refiner_params, l_feat, h_feat, preds,
+                window_size=self.window_size, threshold=self.threshold,
+            )
+            return out.outputs
+
+        self._decoder_fwd = decoder_fwd
+        self._refine = refine
+
+    # -- feature prep (loop_CORAL.py:206-245) ------------------------------
+    def _prepare(self, l_input, h_input, m_input):
+        wl = self.window_length
+        b = l_input.shape[0]
+        c = l_input.shape[-1]
+        l_feat = _resize_nhwc(jnp.asarray(l_input), (wl, wl))
+        hf = jnp.asarray(h_input).reshape((-1,) + h_input.shape[2:])
+        h_feat = _resize_nhwc(hf, (wl, wl)).reshape(b, -1, wl, wl, c)
+
+        if self.require_m and m_input is not None:
+            mf = jnp.asarray(m_input).reshape((-1,) + m_input.shape[2:])
+            m_feat = _resize_nhwc(mf, (68, 68))
+            preds = self._decoder_fwd(self.runner.decoder_params, m_feat)
+            preds = concate_m_patch_preds(preds.reshape(b, 4, 68, 68, 1))
+        else:
+            preds = self._decoder_fwd(self.runner.decoder_params, l_feat)
+        return l_feat, h_feat, preds
+
+    @staticmethod
+    def _center_pad(x: np.ndarray, fill: float = -10.0) -> np.ndarray:
+        """Pad to 2x around the centre (loop_CORAL.py:168-204)."""
+        b, h, w, c = x.shape
+        out = np.full((b, 2 * h, 2 * w, c), fill, dtype=x.dtype)
+        out[:, h // 2 : h // 2 + h, w // 2 : w // 2 + w] = x
+        return out
+
+    def run(self) -> Dict[str, float]:
+        stats = CODStatistics()
+        runner = self.runner
+        dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
+        runner.logger.log(f"start validate on {dataset_name} (UDLR)")
+
+        for batch in runner.val_dataloader:
+            label = batch["label"][0]
+            img_path = batch["img_path"][0]
+            l_input = np.asarray(batch["features"], np.float32)
+            h_input = np.asarray(batch["h_inputs"], np.float32)
+            m_input = (
+                np.asarray(batch["m_inputs"], np.float32)
+                if batch.get("m_inputs") is not None
+                and not isinstance(batch["m_inputs"], list)
+                else None
+            )
+
+            l_feat, h_feat, preds = self._prepare(l_input, h_input, m_input)
+
+            # centre-crop fallback for near-empty predictions
+            ratio = float(
+                (np.asarray(preds) > 0).sum() / (preds.shape[1] * preds.shape[2])
+            )
+            cropped = ratio < 0.001
+            if cropped:
+                got = runner.val_dataset.get_features(img_path, crop_center=True)
+                l_c, h_c, m_c = got
+                l_feat, h_feat, preds = self._prepare(
+                    np.asarray(l_c, np.float32),
+                    np.asarray(h_c, np.float32),
+                    np.asarray(m_c, np.float32) if m_c is not None else None,
+                )
+
+            outputs = np.asarray(
+                self._refine(runner.refiner_params, l_feat, h_feat, preds)
+            )
+            if cropped:
+                outputs = self._center_pad(outputs)
+
+            # process_preds (loop_CORAL.py:313-341)
+            in_01 = bool(np.all((outputs >= 0) & (outputs <= 1)))
+            probs = outputs if in_01 else 1.0 / (1.0 + np.exp(-outputs))
+            lh, lw = label.shape[:2]
+            up = interpolate_bilinear(jnp.asarray(_nchw(jnp.asarray(probs))), (lh, lw))
+            pred = (np.asarray(up)[0, 0] > 0.5).astype(np.float64)
+
+            stats.step(label[None, :, :, 0], pred[None])
+            if self.save_preds:
+                save_binary_mask(
+                    pred,
+                    os.path.join(
+                        self.cfg.log_cfg.log_path, "preds", dataset_name,
+                        os.path.basename(img_path),
+                    ),
+                )
+
+        result = stats.get_result()
+        runner.logger.log_table({k: [round(v, 4)] for k, v in result.items()})
+        return result
+
+
+class LocalRefineTrainLoop:
+    """Stage-2 refiner training (completes the reference's unreleased stub)."""
+
+    def __init__(self, cfg, runner):
+        self.cfg = cfg
+        self.runner = runner
+        tc = cfg.train_cfg
+        mc = cfg.model_cfg
+        self.max_epoch = tc.max_epoch
+        self.window_length = mc.window_length
+        self.window_size = mc.get("window_size", 3)
+        self.threshold = mc.get("threshold", 0.0015)
+
+        # per-epoch StepLR for stage 2 (step_lr_size counts epochs here; the
+        # reference never defined the schedule for the unreleased trainer).
+        # inject_hyperparams makes the LR a state field we set each epoch.
+        self.lr0 = tc.get("lr0", 1e-4)
+        self.gamma = tc.get("step_lr_gamma", 0.95)
+        self.step_size = tc.get("step_lr_size", 2)
+        self.optimizer = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self.lr0, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+        )
+
+        ws, wl = self.window_size, self.window_length
+
+        def loss_fn(refiner_params, dec_params, l_feat, h_feat, preds):
+            out = sparse_refiner_forward(
+                refiner_params, l_feat, h_feat, preds,
+                window_size=ws, threshold=self.threshold,
+            )
+            b = l_feat.shape[0]
+            c = l_feat.shape[-1]
+            # window targets: frozen decoder on each window's features
+            h_flat = h_feat.reshape(b * ws * ws, wl, wl, c)
+            tgt_logits, _, _ = rev_decoder_forward(dec_params, h_flat, with_loss=False)
+            h_targets = jax.lax.stop_gradient(
+                (jax.nn.sigmoid(tgt_logits) > 0.5).astype(jnp.float32)
+            )
+            loss = refiner_distillation_loss(out, preds, h_targets, window_size=ws)
+            return loss
+
+        @jax.jit
+        def train_step(refiner_params, opt_state, dec_params, l_feat, h_feat, preds):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                refiner_params, dec_params, l_feat, h_feat, preds
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, refiner_params)
+            new_params = optax.apply_updates(refiner_params, updates)
+            return new_params, opt_state, loss
+
+        self._train_step = train_step
+
+        @jax.jit
+        def decoder_fwd(dec, feats):
+            fg, _, _ = rev_decoder_forward(dec, feats, with_loss=False)
+            return fg
+
+        self._decoder_fwd = decoder_fwd
+
+    def _prepare(self, batch):
+        wl = self.window_length
+        l_input = np.asarray(batch["features"], np.float32)
+        h_input = np.asarray(batch["h_inputs"], np.float32)
+        b, c = l_input.shape[0], l_input.shape[-1]
+        l_feat = _resize_nhwc(jnp.asarray(l_input), (wl, wl))
+        hf = jnp.asarray(h_input).reshape((-1,) + h_input.shape[2:])
+        h_feat = _resize_nhwc(hf, (wl, wl)).reshape(b, -1, wl, wl, c)
+
+        m_input = batch.get("m_inputs")
+        if m_input is not None and not isinstance(m_input, list):
+            m_input = np.asarray(m_input, np.float32)
+            mf = jnp.asarray(m_input).reshape((-1,) + m_input.shape[2:])
+            m_feat = _resize_nhwc(mf, (68, 68))
+            preds = self._decoder_fwd(self.runner.decoder_params, m_feat)
+            preds = concate_m_patch_preds(preds.reshape(b, 4, 68, 68, 1))
+        else:
+            preds = self._decoder_fwd(self.runner.decoder_params, l_feat)
+        return l_feat, h_feat, preds
+
+    def run(self) -> None:
+        runner = self.runner
+        # refiner-only parameters are trained; num_heads is static metadata
+        trainable = {k: v for k, v in runner.refiner_params.items() if k != "num_heads"}
+        opt_state = self.optimizer.init(trainable)
+        for epoch in range(self.max_epoch):
+            lr = self.lr0 * self.gamma ** (epoch // self.step_size)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            self._lr = lr
+            losses = []
+            for batch in runner.train_dataloader:
+                l_feat, h_feat, preds = self._prepare(batch)
+                trainable, opt_state, loss = self._train_step(
+                    trainable, opt_state, runner.decoder_params, l_feat, h_feat, preds
+                )
+                losses.append(float(loss))
+            runner.logger.log(
+                f"[stage2] epoch {epoch}: loss={np.mean(losses):.4f} lr={self._lr:.2e}"
+            )
+            runner.refiner_params = {**trainable, "num_heads": runner.refiner_params["num_heads"]}
+            vc = self.cfg.val_cfg
+            if (epoch + 1) % vc.get("val_interval", 4) == 0 and (epoch + 1) >= vc.get(
+                "val_start", 4
+            ):
+                runner.launch_val()
+            self._save(epoch + 1)
+
+    def _save(self, epoch: int) -> None:
+        from ucod_dpl_tpu.models.udlr import save_refiner_checkpoint
+
+        path = os.path.join(self.runner.log_path, "refiner_ckp", f"epoch{epoch}.safetensors")
+        save_refiner_checkpoint(path, self.runner.refiner_params)
+        self.runner.logger.log(f"Saved refiner checkpoint {path}")

@@ -211,3 +211,15 @@ class LocalRefineRunner(Runner):
         from .coral_loop import LocalRefineEvaluator
 
         return LocalRefineEvaluator(self.cfg, self).run()
+
+    def launch_train(self) -> None:
+        from .coral_loop import LocalRefineTrainLoop
+
+        LocalRefineTrainLoop(self.cfg, self).run()
+
+    def save_refiner(self, epoch: int) -> str:
+        from ucod_dpl_tpu.models.udlr import save_refiner_checkpoint
+
+        path = os.path.join(self.log_path, "refiner_ckp", f"epoch{epoch}.safetensors")
+        save_refiner_checkpoint(path, self.refiner_params)
+        return path
