@@ -1,0 +1,196 @@
+"""Fast bilateral solver for mask refinement (TokenCut-style).
+
+Behavioral counterpart of ``engine/utils/bilateral_solver.py`` +
+``engine/utils/misc.py:62-156``: a 5-D XYLUV bilateral grid, bistochastic
+normalisation, Jacobi-preconditioned conjugate gradient solve, and the
+IoU>0.5 acceptance gate used to decide whether the refined mask replaces the
+original.  Host-side (scipy.sparse) by design: the solve is a small sparse
+CG over ~10^4 grid vertices, latency-bound, and runs rarely (optional
+post-processing) — device offload would be all transfer overhead.
+
+Implementation is original; the algorithm follows Barron & Poole, "The Fast
+Bilateral Solver" (ECCV 2016).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+from scipy.sparse import csr_matrix, diags
+from scipy.sparse.linalg import cg
+
+RGB_TO_YUV = np.array(
+    [[0.299, 0.587, 0.114], [-0.168736, -0.331264, 0.5], [0.5, -0.418688, -0.081312]]
+)
+YUV_OFFSET = np.array([0.0, 128.0, 128.0])
+MAX_VAL = 255.0
+
+
+DEFAULT_GRID_PARAMS = {"sigma_luma": 4, "sigma_chroma": 4, "sigma_spatial": 24}
+DEFAULT_BS_PARAMS = {"lam": 256, "A_diag_min": 1e-5, "cg_tol": 1e-5, "cg_maxiter": 25}
+
+
+class BilateralGrid:
+    """Splat/blur/slice operators over a 5-D (x, y, luma, u, v) grid."""
+
+    def __init__(self, image: np.ndarray, sigma_spatial=32, sigma_luma=8, sigma_chroma=8):
+        im_yuv = image.astype(np.float64) @ RGB_TO_YUV.T + YUV_OFFSET
+        h, w = image.shape[:2]
+        ii, jj = np.mgrid[:h, :w]
+        coords = np.concatenate(
+            [
+                (ii[:, :, None] / sigma_spatial),
+                (jj[:, :, None] / sigma_spatial),
+                (im_yuv[:, :, :1] / sigma_luma),
+                (im_yuv[:, :, 1:] / sigma_chroma),
+            ],
+            axis=2,
+        ).astype(int)
+        coords_flat = coords.reshape(-1, coords.shape[-1])
+        self.npixels = coords_flat.shape[0]
+        self.dim = coords_flat.shape[1]
+
+        # hash coordinates to unique vertex ids
+        _, unique_inv = np.unique(
+            coords_flat.view([("", coords_flat.dtype)] * self.dim),
+            return_inverse=True,
+        )
+        self.nvertices = int(unique_inv.max()) + 1
+        self._splat = csr_matrix(
+            (np.ones(self.npixels), (unique_inv.ravel(), np.arange(self.npixels))),
+            shape=(self.nvertices, self.npixels),
+        )
+        # blur: sum of +-1 shifts along each grid dim over occupied vertices
+        self._coords_unique = np.zeros((self.nvertices, self.dim), dtype=int)
+        self._coords_unique[unique_inv.ravel()] = coords_flat
+        self._build_blur()
+
+    def _build_blur(self) -> None:
+        lookup = {tuple(c): i for i, c in enumerate(self._coords_unique)}
+        rows, cols = [], []
+        for d in range(self.dim):
+            for off in (-1, 1):
+                neighbor = self._coords_unique.copy()
+                neighbor[:, d] += off
+                for i, c in enumerate(neighbor):
+                    j = lookup.get(tuple(c))
+                    if j is not None:
+                        rows.append(i)
+                        cols.append(j)
+        data = np.ones(len(rows))
+        off_diag = csr_matrix(
+            (data, (rows, cols)), shape=(self.nvertices, self.nvertices)
+        )
+        self._blur = 2 * self.dim * diags(np.ones(self.nvertices)) + off_diag
+
+    def splat(self, x: np.ndarray) -> np.ndarray:
+        return self._splat @ x
+
+    def slice(self, y: np.ndarray) -> np.ndarray:
+        return self._splat.T @ y
+
+    def blur(self, x: np.ndarray) -> np.ndarray:
+        return self._blur @ x
+
+    def filter(self, x: np.ndarray) -> np.ndarray:
+        return self.slice(self.blur(self.splat(x))) / self.slice(
+            self.blur(self.splat(np.ones_like(x)))
+        )
+
+
+def _bistochastize(grid: BilateralGrid, maxiter: int = 10):
+    """Compute diagonal matrices Dn, Dm making splat/blur bistochastic."""
+    m = grid.splat(np.ones(grid.npixels))
+    n = np.ones(grid.nvertices)
+    for _ in range(maxiter):
+        n = np.sqrt(n * m / np.maximum(grid.blur(n), 1e-20))
+    Dm = diags(m)
+    Dn = diags(n)
+    return Dn, Dm
+
+
+class BilateralSolver:
+    def __init__(self, grid: BilateralGrid, params: Dict = None):
+        self.grid = grid
+        self.params = {**DEFAULT_BS_PARAMS, **(params or {})}
+        self.Dn, self.Dm = _bistochastize(grid)
+
+    def solve(self, target: np.ndarray, confidence: np.ndarray) -> np.ndarray:
+        """Minimise the bilateral-smoothness + confidence-weighted data term."""
+        lam = self.params["lam"]
+        grid = self.grid
+        A_smooth = self.Dm - self.Dn @ grid._blur @ self.Dn
+        w = confidence.reshape(-1, 1)
+        t = target.reshape(-1, 1)
+        A_data = diags(grid.splat(w.ravel()))
+        A = lam * A_smooth + A_data
+        b = grid.splat((w * t).ravel())
+        # Jacobi preconditioner
+        A_diag = np.maximum(A.diagonal(), self.params["A_diag_min"])
+        M = diags(1.0 / A_diag)
+        y0 = grid.splat((w * t).ravel()) / np.maximum(grid.splat(w.ravel()), 1e-10)
+        y, _ = cg(
+            A,
+            b,
+            x0=y0,
+            M=M,
+            rtol=self.params["cg_tol"],
+            maxiter=self.params["cg_maxiter"],
+        )
+        return grid.slice(y).reshape(target.shape)
+
+
+def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return float(inter / union) if union else 0.0
+
+
+def apply_bilateral_solver(
+    mask: np.ndarray,
+    image: np.ndarray,
+    threshold: float = 0.5,
+    grid_params: Dict = None,
+    bs_params: Dict = None,
+) -> Tuple[np.ndarray, bool]:
+    """Refine a soft/binary mask against image edges.
+
+    Returns (refined_binary_mask, accepted): the refinement is *accepted*
+    only when IoU with the input binarisation exceeds 0.5, matching the
+    reference's acceptance gate (misc.py:110-156); callers keep the original
+    mask otherwise.
+    """
+    gp = {**DEFAULT_GRID_PARAMS, **(grid_params or {})}
+    image = np.asarray(image)
+    if image.dtype != np.uint8:
+        image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    mask = np.asarray(mask, dtype=np.float64)
+
+    grid = BilateralGrid(
+        image,
+        sigma_spatial=gp["sigma_spatial"],
+        sigma_luma=gp["sigma_luma"],
+        sigma_chroma=gp["sigma_chroma"],
+    )
+    solver = BilateralSolver(grid, bs_params)
+    confidence = np.full_like(mask, 0.999)
+    refined = solver.solve(mask, confidence)
+    refined_bin = refined > threshold
+    accepted = _mask_iou(refined_bin, mask > threshold) > 0.5
+    return refined_bin.astype(np.float32), accepted
+
+
+def bbox_from_mask(mask: np.ndarray) -> Tuple[int, int, int, int]:
+    """(x0, y0, x1, y1) of the largest connected component (counterpart of
+    get_bbox_from_segmentation_labels, misc.py:158-190)."""
+    from ucod_dpl_tpu.utils.components import connected_components
+
+    num, labels = connected_components(mask)
+    if num == 0:
+        h, w = mask.shape
+        return 0, 0, w - 1, h - 1
+    areas = [(labels == i).sum() for i in range(1, num + 1)]
+    comp = labels == (int(np.argmax(areas)) + 1)
+    ys, xs = np.nonzero(comp)
+    return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())

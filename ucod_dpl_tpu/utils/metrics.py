@@ -244,6 +244,51 @@ def weighted_f_measure(pred: np.ndarray, gt: np.ndarray, beta: float = 1.0) -> f
 # streaming accumulator
 # --------------------------------------------------------------------------
 
+def auroc(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Area under the ROC curve of the raw (unnormalised) prediction map
+    (counterpart of AUROCMeasure, metric.py:570-591)."""
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(np.asarray(gt).ravel(), np.asarray(pred).ravel()))
+
+
+def calculate_cod_metrics(gt_paths, pred_paths, verbose: bool = True) -> Dict[str, float]:
+    """Offline dir-vs-dir (or list-vs-list) metric computation, counterpart
+    of ``calculate_cod_metrics`` (metric.py:76-122): predictions are resized
+    to ground-truth size before scoring; .png/.jpg extension fallback."""
+    import os
+
+    from PIL import Image
+
+    if isinstance(gt_paths, str) and isinstance(pred_paths, str):
+        gt_paths = sorted(
+            os.path.join(gt_paths, x) for x in os.listdir(gt_paths)
+        )
+        pred_paths = sorted(
+            os.path.join(pred_paths, x) for x in os.listdir(pred_paths)
+        )
+    assert len(gt_paths) == len(pred_paths), "gt/pred count mismatch"
+
+    stats = CODStatistics()
+    for gt_p, pred_p in zip(gt_paths, pred_paths):
+        base = str(pred_p)[:-4]
+        cand = base + ".png"
+        if not os.path.exists(cand):
+            cand = base + ".jpg"
+        with Image.open(cand) as pi:
+            pred_img = pi.convert("L")
+        with Image.open(gt_p) as gi:
+            gt_arr = np.asarray(gi.convert("L"), dtype=np.float64)
+        pred_img = pred_img.resize((gt_arr.shape[1], gt_arr.shape[0]))
+        pred_arr = np.asarray(pred_img, dtype=np.float64)
+        stats.step(gt_arr[None], pred_arr[None])
+    result = stats.get_result()
+    return {
+        k: result[k]
+        for k in ("E_MAX", "E_MEAN", "F_MAX", "F_MEAN", "SMeasure", "MAE", "WFM")
+    }
+
+
 class CODStatistics:
     """Streaming per-image accumulator producing the reference result dict
     keys {ACC, mIOU, E_MAX, E_MEAN, F_MAX, F_MEAN, SMeasure, MAE, WFM}."""
