@@ -111,6 +111,17 @@ def test_eval_end_to_end(tmp_path):
     assert np.isclose(result["MAE"], result2["MAE"])  # deterministic
 
 
+def test_eval_batched_matches_bs1(tmp_path):
+    """Batched first pass must reproduce the bs=1 metrics exactly."""
+    _make_synthetic_dataset(tmp_path / "RefCOD")
+    cfg = _tiny_cfg(tmp_path)
+    r1 = Runner(cfg, mode="eval").launch_val_look_twice()
+    cfg.dataset_cfg.val_loader_cfg.batch_size = 3
+    r2 = Runner(cfg, mode="eval").launch_val_look_twice()
+    for k in ("MAE", "SMeasure", "E_MEAN", "F_MEAN", "WFM"):
+        assert np.isclose(r1[k], r2[k]), (k, r1[k], r2[k])
+
+
 def test_eval_without_look_twice(tmp_path):
     _make_synthetic_dataset(tmp_path / "RefCOD")
     cfg = _tiny_cfg(tmp_path)

@@ -177,33 +177,40 @@ class LookTwiceEvaluator:
 
     # ------------------------------------------------------------------
     def run(self) -> dict:
+        """Batched first pass (any val batch size), per-image LookTwice.
+
+        The reference evaluates strictly image-by-image (val batch_size=1,
+        loop_UCOD_DPL.py:301); here the decoder/upsample first pass runs over
+        the whole batch in one device call and only the data-dependent
+        LookTwice post-processing is per-image."""
         stats = CODStatistics()
         logger = self.runner.logger
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         logger.log(f"start validate on {dataset_name}")
 
         for batch in self.runner.val_dataloader:
-            features = batch["features"]  # (1, fh, fw, C)
-            label = batch["label"][0] if batch["label"][0] is not None else None
-            img_path = batch["img_path"][0]
+            features = batch["features"]  # (B, fh, fw, C)
+            binaries = np.asarray(self._first_pass(self.runner.decoder_params, features))
+            labels = batch["label"]
+            paths = batch["img_path"]
 
-            binary = np.asarray(self._first_pass(self.runner.decoder_params, features))[0]
+            for binary, label, img_path in zip(binaries, labels, paths):
+                if self.look_twice_enabled:
+                    bboxes = self.process_preds(binary)
+                    if bboxes is not None:
+                        binary = self.look_twice(img_path, bboxes, binary)
 
-            if self.look_twice_enabled:
-                bboxes = self.process_preds(binary)
-                if bboxes is not None:
-                    binary = self.look_twice(img_path, bboxes, binary)
+                lh, lw = label.shape[:2]
+                pred_t = interpolate_bilinear(jnp.asarray(binary)[None, None], (lh, lw))
+                pred = (np.asarray(pred_t)[0, 0] > 0.5).astype(np.float64)
 
-            lh, lw = label.shape[:2]
-            pred_t = interpolate_bilinear(jnp.asarray(binary)[None, None], (lh, lw))
-            pred = (np.asarray(pred_t)[0, 0] > 0.5).astype(np.float64)
-
-            stats.step(label[None, :, :, 0], pred[None])
-            if self.save_preds:
-                out_path = os.path.join(
-                    self.cfg.log_cfg.log_path, "preds", dataset_name, os.path.basename(img_path)
-                )
-                save_binary_mask(pred, out_path)
+                stats.step(label[None, :, :, 0], pred[None])
+                if self.save_preds:
+                    out_path = os.path.join(
+                        self.cfg.log_cfg.log_path, "preds", dataset_name,
+                        os.path.basename(img_path),
+                    )
+                    save_binary_mask(pred, out_path)
 
         result = stats.get_result()
         logger.log_table({k: [round(v, 4)] for k, v in result.items()})
