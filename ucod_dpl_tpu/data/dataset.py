@@ -290,7 +290,10 @@ def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Minimal host dataloader: shuffling, batching, numpy collation."""
+    """Host dataloader: shuffling, batching, numpy collation, background
+    prefetch (overlaps disk/decode with device compute), and optional
+    process sharding for multi-host SPMD (each process reads its slice of
+    the dataset; ``shard=(index, count)``)."""
 
     def __init__(
         self,
@@ -299,25 +302,68 @@ class DataLoader:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        prefetch: int = 2,
+        shard: Optional[tuple] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.shard = shard
         self._rng = np.random.default_rng(seed)
 
+    def _indices(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        if self.shard is not None:
+            index, count = self.shard
+            order = order[index::count]
+        return order
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._indices()) if self.shard is not None else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(order)
+    def _batches(self, order: np.ndarray) -> Iterator[Dict[str, Any]]:
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
             yield collate([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._indices()
+        if self.prefetch <= 0:
+            yield from self._batches(order)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def producer():
+            try:
+                for batch in self._batches(order):
+                    q.put(batch)
+            except Exception as e:  # surface loader errors on the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -179,6 +179,7 @@ class LocalRefineEvaluator:
                     ),
                 )
 
+        stats.sync_across_processes()
         result = stats.get_result()
         runner.logger.log_table({k: [round(v, 4)] for k, v in result.items()})
         return result

@@ -212,6 +212,7 @@ class LookTwiceEvaluator:
                     )
                     save_binary_mask(pred, out_path)
 
+        stats.sync_across_processes()
         result = stats.get_result()
         logger.log_table({k: [round(v, 4)] for k, v in result.items()})
         return result

@@ -33,6 +33,9 @@ class Runner:
     def __init__(self, cfg, mode: str = "train", load_from: Optional[str] = None):
         self.cfg = cfg
         self.mode = mode
+        from ucod_dpl_tpu.parallel.distributed import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
         self._setup_dirs()
         self.logger = Logger(
             "ucod",
@@ -90,7 +93,12 @@ class Runner:
         )
 
     def _build_dataloaders(self) -> None:
+        import jax as _jax
+
+        from ucod_dpl_tpu.parallel.distributed import process_shard
+
         dc = self.cfg.dataset_cfg
+        shard = process_shard() if _jax.process_count() > 1 else None
         self.train_dataset = self.train_dataloader = None
         self.val_dataset = self.val_dataloader = None
         if self.mode == "train":
@@ -102,6 +110,7 @@ class Runner:
                 shuffle=tl.get("shuffle", True),
                 seed=self.cfg.get("seed", 42),
                 drop_last=True,
+                shard=shard,
             )
         valset_cfg = dc.valset_cfg
         keep_size = valset_cfg.get("keep_size", self.mode != "train")
@@ -111,6 +120,7 @@ class Runner:
             self.val_dataset,
             batch_size=vl.get("batch_size", 1),
             shuffle=False,
+            shard=shard,
         )
 
     def _dump_config(self) -> None:

@@ -1,0 +1,94 @@
+"""Multi-host (multi-process) SPMD support.
+
+TPU-native replacement for the reference's NCCL/Accelerate substrate
+(SURVEY §5.8): ``jax.distributed.initialize`` bootstraps the process group
+from the TPU pod environment; GSPMD collectives ride ICI within a slice and
+DCN across slices.  Per-process dataset sharding replaces DistributedSampler;
+metric gathering replaces ``accelerator.gather_for_metrics``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List
+
+import jax
+import numpy as np
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize jax.distributed when launched multi-process.
+
+    Triggered by UCOD_DIST=1 or explicit coordinator env vars; a no-op in
+    single-process runs (the common dev path).
+    """
+    if jax.process_count() > 1:
+        return  # already initialised
+    if os.environ.get("UCOD_DIST") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs = {}
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if addr:
+            kwargs = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            )
+        jax.distributed.initialize(**kwargs)
+
+
+def process_shard() -> tuple:
+    """(index, count) slice of the dataset this process reads."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def gather_object_lists(local: List[Any]) -> List[Any]:
+    """Gather per-process python lists of numpy arrays to every process
+    (counterpart of accelerator.gather_for_metrics for streaming metrics).
+
+    Single-process: identity.  Multi-process: allgather over a host
+    roundtrip via ``multihost_utils`` on fixed-size payloads.
+    """
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    stacked = np.stack([np.asarray(x) for x in local])
+    gathered = multihost_utils.process_allgather(stacked)
+    return list(gathered.reshape((-1,) + stacked.shape[1:]))
+
+
+def gather_ragged(local: List[Any]) -> List[Any]:
+    """Gather ragged-count (equal-shape) array lists from all processes.
+
+    Processes may hold differing numbers of items (dataset shards differ by
+    up to one); counts are exchanged first, payloads padded to the max and
+    trimmed after the allgather."""
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    arrays = [np.asarray(x, dtype=np.float64) for x in local]
+    shape = arrays[0].shape if arrays else ()
+    counts = multihost_utils.process_allgather(np.array([len(arrays)], np.int32))
+    counts = np.asarray(counts).reshape(-1)
+    maxc = int(counts.max())
+    payload = np.zeros((maxc,) + shape, np.float64)
+    if arrays:
+        payload[: len(arrays)] = np.stack(arrays)
+    gathered = np.asarray(multihost_utils.process_allgather(payload))
+    out: List[Any] = []
+    for p in range(gathered.shape[0]):
+        out.extend(gathered[p, : counts[p]])
+    return out
+
+
+def barrier(name: str = "barrier") -> None:
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

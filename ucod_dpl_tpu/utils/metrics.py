@@ -325,6 +325,14 @@ class CODStatistics:
             _, f_curve, _, _ = f_measure(pn, gn)
             self._f_curves.append(f_curve)
 
+    def sync_across_processes(self) -> None:
+        """Gather per-image accumulators from all JAX processes (counterpart
+        of the reference's gather_for_metrics; no-op single-process)."""
+        from ucod_dpl_tpu.parallel.distributed import gather_ragged
+
+        for attr in ("_sm", "_mae", "_wfm", "_acc", "_iou", "_e_curves", "_f_curves"):
+            setattr(self, attr, gather_ragged(getattr(self, attr)))
+
     def get_result(self) -> Dict[str, float]:
         e_curve = np.mean(np.stack(self._e_curves), axis=0)
         f_curve = np.mean(np.stack(self._f_curves), axis=0)
