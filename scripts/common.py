@@ -16,6 +16,8 @@ def init_cfg(args, mode: str):
         cfg.train_cfg.checkpoint = args.load_from
     if args.refiner_path:
         cfg.train_cfg.refiner_path = args.refiner_path
+    if args.resume:
+        cfg.train_cfg.resume = args.resume
     # work_dir derived from the config path, as the reference does
     # (scripts/train.py:14-18)
     cfg_dir = os.path.dirname(os.path.abspath(args.config))

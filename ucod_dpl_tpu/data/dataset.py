@@ -26,6 +26,7 @@ import numpy as np
 
 from ucod_dpl_tpu.utils import get_logger
 from ucod_dpl_tpu.utils.fileio import ArrayCache, ImageIO
+from ucod_dpl_tpu.utils.registry import DATASETS
 
 from .feature_extractor import FeatureExtractor
 from .transforms import image_transform, label_transform, patch_transform
@@ -63,6 +64,8 @@ class CacheSet:
         return self._caches[kind]
 
 
+@DATASETS.register("USCODDataset")
+@DATASETS.register()
 class CODDataset:
     """Image/label/feature/pseudo-label dataset (counterpart of
     ``BaseCODDataset``/``USCODDataset``)."""
@@ -175,6 +178,7 @@ class CODDataset:
         }
 
 
+@DATASETS.register()
 class LRDataset(CODDataset):
     """CORAL stage-2 dataset with 3x3 patch-grid and 2x2 m-patch features
     (counterpart of ``data/datasets/lr_dataset.py``)."""

@@ -78,8 +78,11 @@ class Runner:
         )
 
     def _make_dataset(self, set_cfg, ds_mode: str, keep_size: bool):
+        from ucod_dpl_tpu.utils.registry import DATASETS
+
         dc = self.cfg.dataset_cfg
-        return CODDataset(
+        ds_cls = DATASETS.get(set_cfg.get("type", "USCODDataset"))
+        return ds_cls(
             set_cfg,
             dc.feature_extractor_cfg,
             dataset_dir=dc.dataset_dir,
@@ -201,8 +204,13 @@ class LocalRefineRunner(Runner):
             )
 
     def _make_dataset(self, set_cfg, ds_mode: str, keep_size: bool):
+        from ucod_dpl_tpu.utils.registry import DATASETS
+
         dc = self.cfg.dataset_cfg
-        return LRDataset(
+        ds_cls = DATASETS.get(set_cfg.get("type", "LRDataset"))
+        if ds_cls is CODDataset:  # stage 2 needs the patch-capable dataset
+            ds_cls = LRDataset
+        return ds_cls(
             set_cfg,
             dc.feature_extractor_cfg,
             dataset_dir=dc.dataset_dir,

@@ -85,6 +85,25 @@ class TrainLoop:
         self.finetune = False
         self.best_mae = float("inf")
         self.best_result: Optional[Dict[str, float]] = None
+        self.save_mode = tc.get("save_cfg", {}).get("save_mode", "model")
+
+        resume = tc.get("resume")
+        if resume:
+            self._resume(resume)
+
+    def _resume(self, path: str) -> None:
+        """Restore full training state (optimizer moments, EMA step, epoch)
+        from a save_mode='all' checkpoint."""
+        from .checkpoint import load_train_state
+
+        self.state, meta = load_train_state(path, self.state)
+        self.start_epoch = int(meta.get("epoch", 0))
+        self.finetune = bool(meta.get("finetune", False))
+        self.best_mae = float(meta.get("best_mae", float("inf")))
+        self.runner.logger.log(
+            f"Resumed training state from {path} (epoch {self.start_epoch}, "
+            f"finetune={self.finetune})"
+        )
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch):
@@ -133,6 +152,18 @@ class TrainLoop:
             if epoch >= self.save_start and epoch % self.save_interval == 0:
                 self._sync_runner_params()
                 self.runner.save_checkpoint(epoch)
+                if self.save_mode == "all":
+                    from .checkpoint import save_train_state
+
+                    save_train_state(
+                        f"{self.runner.ckp_dir}/state_epoch{epoch}",
+                        self.state,
+                        {
+                            "epoch": epoch,
+                            "finetune": self.finetune,
+                            "best_mae": self.best_mae,
+                        },
+                    )
 
             if (
                 self.enable_val
