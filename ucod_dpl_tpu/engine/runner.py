@@ -43,7 +43,15 @@ class Runner:
             ranks=cfg.log_cfg.get("multi_rank", [0]),
         )
         self.mesh = build_mesh(cfg.get("tpu_cfg", {}).get("mesh"))
-        self.feature_extractor = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg)
+        compute_dtype = None
+        dtype_name = cfg.get("tpu_cfg", {}).get("compute_dtype")
+        if dtype_name:
+            import jax.numpy as jnp
+
+            compute_dtype = jnp.dtype(dtype_name) if dtype_name != "bfloat16" else jnp.bfloat16
+        self.feature_extractor = FeatureExtractor(
+            cfg.dataset_cfg.feature_extractor_cfg, compute_dtype=compute_dtype
+        )
         self._build_model(load_from)
         self._build_dataloaders()
         self._dump_config()

@@ -339,7 +339,14 @@ def dino_forward(
 
         h2 = _layernorm(x, layer["norm2"], cfg.layer_norm_eps)
         h2 = _dense(h2, layer["fc1"], dtype)
-        h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=False).astype(dtype)
+        if dtype == jnp.bfloat16:
+            # tanh-approx GELU in bf16: the exact-erf/f32 variant costs ~10x
+            # (1.0ms vs 0.1ms per layer at bs16@518px) for a ~1e-3 activation
+            # difference — far below bf16 noise. The f32 path keeps exact erf
+            # for bit-parity with the HF reference.
+            h2 = jax.nn.gelu(h2, approximate=True)
+        else:
+            h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=False).astype(dtype)
         h2 = _dense(h2, layer["fc2"], dtype)
         if cfg.use_layerscale:
             h2 = h2 * layer["ls2"].astype(dtype)

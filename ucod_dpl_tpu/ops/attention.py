@@ -28,14 +28,16 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (Lp, d)
+    # q/k stay in their storage dtype (bf16 on TPU) so the MXU runs at its
+    # bf16 rate; accumulation is f32 via preferred_element_type.
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (Lp, d)
     s = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         * scale
-    )  # (bq, Lp)
+    )  # (bq, Lp) f32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < seq_len, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
