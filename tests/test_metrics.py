@@ -72,6 +72,17 @@ def test_statistics_parity(ref_metrics):
         )
 
 
+def test_parallel_workers_match_sync():
+    sync = M.CODStatistics(workers=0)
+    par = M.CODStatistics(workers=2)
+    for pred, gt in _random_cases(seed=5, n=4):
+        sync.step(gt[None], pred[None])
+        par.step(gt[None], pred[None])
+    rs, rp = sync.get_result(), par.get_result()
+    for k, v in rs.items():
+        assert np.isclose(v, rp[k]), (k, v, rp[k])
+
+
 def test_individual_metrics_parity(ref_metrics):
     rng = np.random.default_rng(42)
     for _ in range(4):

@@ -123,7 +123,7 @@ class LocalRefineEvaluator:
         return out
 
     def run(self) -> Dict[str, float]:
-        stats = CODStatistics()
+        stats = CODStatistics(workers=self.cfg.val_cfg.get("metric_workers", 0))
         runner = self.runner
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         runner.logger.log(f"start validate on {dataset_name} (UDLR)")

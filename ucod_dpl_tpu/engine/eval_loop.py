@@ -183,7 +183,7 @@ class LookTwiceEvaluator:
         loop_UCOD_DPL.py:301); here the decoder/upsample first pass runs over
         the whole batch in one device call and only the data-dependent
         LookTwice post-processing is per-image."""
-        stats = CODStatistics()
+        stats = CODStatistics(workers=self.cfg.val_cfg.get("metric_workers", 0))
         logger = self.runner.logger
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         logger.log(f"start validate on {dataset_name}")

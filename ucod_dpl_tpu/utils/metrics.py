@@ -289,11 +289,37 @@ def calculate_cod_metrics(gt_paths, pred_paths, verbose: bool = True) -> Dict[st
     }
 
 
+def _score_one(args) -> tuple:
+    """Per-image metric bundle (module-level: process-pool picklable)."""
+    g, p = args
+    pn, gn = normalize_pair(p, g)
+    _, e_curve = e_measure(pn, gn)
+    _, f_curve, _, _ = f_measure(pn, gn)
+    return (
+        s_measure(pn, gn),
+        mae(pn, gn),
+        weighted_f_measure(pn, gn),
+        pixel_accuracy(pn, gn),
+        binary_iou(pn, gn),
+        e_curve,
+        f_curve,
+    )
+
+
 class CODStatistics:
     """Streaming per-image accumulator producing the reference result dict
-    keys {ACC, mIOU, E_MAX, E_MEAN, F_MAX, F_MEAN, SMeasure, MAE, WFM}."""
+    keys {ACC, mIOU, E_MAX, E_MEAN, F_MAX, F_MEAN, SMeasure, MAE, WFM}.
 
-    def __init__(self):
+    With ``workers > 0``, per-image scoring fans out to a process pool —
+    the host-side metrics (distance transforms, 256-threshold curves) are
+    otherwise the eval-pipeline bottleneck once the device sustains
+    hundreds of images/sec.  Results are order-preserving and identical to
+    the synchronous path."""
+
+    def __init__(self, workers: int = 0):
+        self.workers = workers
+        self._pool = None
+        self._pending = []
         self.reset()
 
     def reset(self) -> None:
@@ -304,6 +330,14 @@ class CODStatistics:
         self._iou = []
         self._e_curves = []
         self._f_curves = []
+        self._pending = []
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ProcessPoolExecutor(max_workers=self.workers)
+        return self._pool
 
     def step(self, gt: np.ndarray, pred: np.ndarray) -> None:
         """Accumulate one batch. Accepts (B,H,W), (B,1,H,W), or (H,W)."""
@@ -314,26 +348,40 @@ class CODStatistics:
         for g, p in zip(gt, pred):
             g = np.squeeze(g)
             p = np.squeeze(p)
-            pn, gn = normalize_pair(p, g)
-            self._mae.append(mae(pn, gn))
-            self._sm.append(s_measure(pn, gn))
-            self._wfm.append(weighted_f_measure(pn, gn))
-            self._acc.append(pixel_accuracy(pn, gn))
-            self._iou.append(binary_iou(pn, gn))
-            _, e_curve = e_measure(pn, gn)
-            self._e_curves.append(e_curve)
-            _, f_curve, _, _ = f_measure(pn, gn)
-            self._f_curves.append(f_curve)
+            if self.workers > 0:
+                self._pending.append(self._ensure_pool().submit(_score_one, (g, p)))
+            else:
+                self._record(_score_one((g, p)))
+
+    def _record(self, scores: tuple) -> None:
+        sm, m, wfm, acc, iou, e_curve, f_curve = scores
+        self._sm.append(sm)
+        self._mae.append(m)
+        self._wfm.append(wfm)
+        self._acc.append(acc)
+        self._iou.append(iou)
+        self._e_curves.append(e_curve)
+        self._f_curves.append(f_curve)
+
+    def _drain(self) -> None:
+        for fut in self._pending:
+            self._record(fut.result())
+        self._pending = []
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def sync_across_processes(self) -> None:
         """Gather per-image accumulators from all JAX processes (counterpart
         of the reference's gather_for_metrics; no-op single-process)."""
+        self._drain()
         from ucod_dpl_tpu.parallel.distributed import gather_ragged
 
         for attr in ("_sm", "_mae", "_wfm", "_acc", "_iou", "_e_curves", "_f_curves"):
             setattr(self, attr, gather_ragged(getattr(self, attr)))
 
     def get_result(self) -> Dict[str, float]:
+        self._drain()
         e_curve = np.mean(np.stack(self._e_curves), axis=0)
         f_curve = np.mean(np.stack(self._f_curves), axis=0)
         return {
