@@ -65,6 +65,35 @@ def test_coral_eval_e2e(tmp_path):
     assert len(os.listdir(preds_dir)) == 3
 
 
+def test_coral_eval_with_m_patches_and_crop_center(tmp_path):
+    """m-patch stitched coarse predictions + the centre-crop feature path."""
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=2)
+    cfg = _coral_cfg(tmp_path)
+    cfg.dataset_cfg.valset_cfg.require_m_patches = True
+    runner = LocalRefineRunner(cfg, mode="eval")
+    result = runner.launch_val()
+    assert np.isfinite(result["MAE"])
+
+    # centre-crop fallback path produces consistent shapes
+    path = str(runner.val_dataset.image_paths[0])
+    l_c, h_c, m_c = runner.val_dataset.get_features(path, crop_center=True)
+    assert l_c.ndim == 4 and h_c.ndim == 5
+    from ucod_dpl_tpu.engine.coral_loop import LocalRefineEvaluator
+
+    ev = LocalRefineEvaluator(cfg, runner)
+    l_feat, h_feat, preds = ev._prepare(
+        np.asarray(l_c, np.float32), np.asarray(h_c, np.float32),
+        np.asarray(m_c, np.float32) if m_c is not None else None,
+    )
+    wl = cfg.model_cfg.window_length
+    assert l_feat.shape[1:3] == (wl, wl)
+    assert preds.shape[1] in (102, wl)  # m-patch canvas or direct
+    padded = ev._center_pad(np.zeros((1, 10, 12, 1), np.float32))
+    assert padded.shape == (1, 20, 24, 1)
+    assert padded[0, 0, 0, 0] == -10.0
+    assert padded[0, 5, 6, 0] == 0.0
+
+
 def test_coral_train_e2e(tmp_path):
     _make_synthetic_dataset(tmp_path / "RefCOD", n=4)
     cfg = _coral_cfg(tmp_path)

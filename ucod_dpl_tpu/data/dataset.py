@@ -135,20 +135,36 @@ class CODDataset:
         return image_transform(img, self.image_size)
 
     def _build_feature_cache(self) -> None:
+        """One-time DINO sweep over the dataset (the throughput-dominant
+        stage, SURVEY §3.5).  Host decode/resize of the next chunk overlaps
+        the device extraction of the current one via a worker pool."""
+        import concurrent.futures
+
         cache = self.caches.get("features")
         self.logger.log(
             f"Building feature cache for {self.set_cfg.DATASET} "
             f"({len(self.image_paths)} images, batch {self.cache_build_batch})"
         )
-        idx = 0
         bs = self.cache_build_batch
-        for start in range(0, len(self.image_paths), bs):
-            chunk = self.image_paths[start : start + bs]
-            batch = np.stack([self._load_image_array(p) for p in chunk])
-            feats = np.asarray(self.feature_extractor.extract(batch))
-            for f in feats:
-                cache.write(idx, f.astype(np.float32))
-                idx += 1
+        chunks = [
+            self.image_paths[s : s + bs] for s in range(0, len(self.image_paths), bs)
+        ]
+
+        idx = 0
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            def load_chunk(paths):
+                return np.stack(list(pool.map(self._load_image_array, paths)))
+
+            pending = pool.submit(load_chunk, chunks[0]) if chunks else None
+            for ci, chunk in enumerate(chunks):
+                batch = pending.result()
+                pending = (
+                    pool.submit(load_chunk, chunks[ci + 1]) if ci + 1 < len(chunks) else None
+                )
+                feats = np.asarray(self.feature_extractor.extract(batch))
+                for f in feats:
+                    cache.write(idx, f.astype(np.float32))
+                    idx += 1
         cache.flush()
         self.logger.log(f"Feature cache complete: {idx} samples")
 
