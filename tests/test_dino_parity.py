@@ -177,3 +177,27 @@ def test_pallas_attention_interpret_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         ours = A._pallas_attention(q, k, v, 0.125, block_q=128)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_packed_attention_interpret_matches_mha():
+    """The packed-layout kernel (head slicing via BlockSpec index maps) must
+    match the reference multi-head computation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ucod_dpl_tpu.ops import attention as A
+
+    rng = np.random.default_rng(3)
+    b, l, nh, hd = 2, 150, 4, 64
+    d = nh * hd
+    q = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+
+    def split(x):
+        return x.reshape(b, l, nh, hd).transpose(0, 2, 1, 3).reshape(b * nh, l, hd)
+
+    ref = A._xla_attention(split(q), split(k), split(v), scale=0.1)
+    ref = np.asarray(ref).reshape(b, nh, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d)
+    with pltpu.force_tpu_interpret_mode():
+        ours = A._pallas_attention_packed(q, k, v, nh, 0.1, block_q=128)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)

@@ -50,6 +50,35 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _attention_kernel_headpair(
+    q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float, head_dim: int
+):
+    """Two heads per program: blocks carry 2*head_dim (=128) lanes to satisfy
+    the TPU lane-tiling constraint; each head attends independently."""
+    col = None
+    for h in range(2):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0][:, sl]  # (bq, hd)
+        k = k_ref[0][:, sl]  # (Lp, hd)
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0][:, sl],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q"))
 def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
     """q_h/k_h/v_h: (BH, L, d) per-head layout."""
@@ -77,6 +106,57 @@ def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
             flops=4 * bh * lp * lp * d,
             bytes_accessed=3 * bh * lp * d * q_h.dtype.itemsize + bh * lp * d * q_h.dtype.itemsize,
             transcendentals=bh * lp * lp,
+        ),
+    )(qp, kp, vp)
+    return out[:, :seq_len, :]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "block_q"))
+def _pallas_attention_packed(
+    q, k, v, num_heads: int, scale: float, block_q: int = 256
+):
+    """Attention straight on the packed (B, L, D) projection layout.
+
+    Head pairs are sliced by BlockSpec index maps (grid (B, nh/2, nq)) with
+    128-lane blocks (TPU tiling constraint), so the (B, L, nh, hd)
+    split/merge transposes — six 33MB materialisations per layer at
+    bs16@518px — never touch HBM.  Requires an even head count and
+    head_dim*2 multiple of 128 (ViT-B: 12 heads x 64); callers fall back to
+    the per-head layout otherwise."""
+    b, seq_len, d_model = q.shape
+    hd = d_model // num_heads
+    assert num_heads % 2 == 0 and (2 * hd) % 128 == 0
+    lp = _ceil_to(seq_len, block_q)
+    pad = [(0, 0), (0, lp - seq_len), (0, 0)]
+    qp = jnp.pad(q, pad)
+    kp = jnp.pad(k, pad)
+    vp = jnp.pad(v, pad)
+
+    grid = (b, num_heads // 2, lp // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_headpair, seq_len=seq_len, scale=scale, head_dim=hd
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lp, 2 * hd), lambda bb, h, i: (bb, 0, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lp, 2 * hd), lambda bb, h, i: (bb, 0, h), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d_model), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * lp * lp * hd,
+            bytes_accessed=4 * b * lp * d_model * q.dtype.itemsize,
+            transcendentals=b * num_heads * lp * lp,
         ),
     )(qp, kp, vp)
     return out[:, :seq_len, :]
@@ -114,14 +194,16 @@ def multi_head_attention(
     b, l, d_model = q.shape
     hd = d_model // num_heads
 
+    if use_pallas() and num_heads % 2 == 0 and (2 * hd) % 128 == 0:
+        return _pallas_attention_packed(q, k, v, num_heads, float(scale))
+
     def split(x):
         return (
             x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3).reshape(b * num_heads, l, hd)
         )
 
-    qh, kh, vh = split(q), split(k), split(v)
     if use_pallas():
-        o = _pallas_attention(qh, kh, vh, float(scale))
+        o = _pallas_attention(split(q), split(k), split(v), float(scale))
     else:
-        o = _xla_attention(qh, kh, vh, float(scale))
+        o = _xla_attention(split(q), split(k), split(v), float(scale))
     return o.reshape(b, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d_model)
