@@ -19,6 +19,11 @@ def parse_args(description: str = "ucod-dpl-tpu"):
         help="comma-separated eval dataset names (overrides the default list)",
     )
     parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="capture a jax.profiler trace under <work_dir>/profile",
+    )
+    parser.add_argument(
         "--opts",
         nargs=argparse.REMAINDER,
         default=[],

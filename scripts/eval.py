@@ -14,16 +14,20 @@ def main():
     cfg = init_cfg(args, mode="eval")
     datasets = args.datasets.split(",") if args.datasets else DEFAULT_DATASETS
 
+    import os
+
     from ucod_dpl_tpu.engine import Runner
     from ucod_dpl_tpu.utils import set_random_seed
+    from ucod_dpl_tpu.utils.profiling import maybe_profile
 
     set_random_seed(42)
     results = {}
-    for dataset in datasets:
-        cfg.dataset_cfg.valset_cfg.DATASET = dataset
-        print(f"running {dataset}")
-        runner = Runner(cfg, mode="eval", load_from=args.load_from)
-        results[dataset] = runner.launch_val_look_twice()
+    with maybe_profile(args.profile, os.path.join(cfg.work_dir, "profile")):
+        for dataset in datasets:
+            cfg.dataset_cfg.valset_cfg.DATASET = dataset
+            print(f"running {dataset}")
+            runner = Runner(cfg, mode="eval", load_from=args.load_from)
+            results[dataset] = runner.launch_val_look_twice()
     for name, res in results.items():
         print(name, {k: round(v, 4) for k, v in res.items()})
 

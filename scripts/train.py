@@ -8,12 +8,16 @@ def main():
     args = parse_args("UCOD-DPL stage-1 training")
     cfg = init_cfg(args, mode="train")
 
+    import os
+
     from ucod_dpl_tpu.engine import Runner
     from ucod_dpl_tpu.utils import set_random_seed
+    from ucod_dpl_tpu.utils.profiling import maybe_profile
 
     set_random_seed(42)
     runner = Runner(cfg, mode="train", load_from=args.load_from)
-    runner.launch_train()
+    with maybe_profile(args.profile, os.path.join(cfg.work_dir, "profile")):
+        runner.launch_train()
 
 
 if __name__ == "__main__":

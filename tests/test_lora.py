@@ -55,6 +55,26 @@ def test_merge_matches_explicit_delta():
     )
 
 
+def test_remat_forward_and_grad_match():
+    """jax.checkpoint layers: same forward, same LoRA gradients."""
+    bb, lora, px = _setup()
+    base = dino_forward(bb, px, CFG)["key_features"]
+    remat = dino_forward(bb, px, CFG, remat=True)["key_features"]
+    np.testing.assert_allclose(np.asarray(base), np.asarray(remat), rtol=1e-6)
+
+    def loss(lora_params, use_remat):
+        out = lora_forward(
+            jax.lax.stop_gradient(bb), lora_params, px, CFG, remat=use_remat
+        )
+        return jnp.sum(out["key_features"] ** 2)
+
+    g1 = jax.grad(lambda l: loss(l, False))(lora)
+    g2 = jax.grad(lambda l: loss(l, True))(lora)
+    np.testing.assert_allclose(
+        np.asarray(g1[0]["q"]["b"]), np.asarray(g2[0]["q"]["b"]), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_lora_gradients_flow_only_to_adapters():
     bb, lora, px = _setup()
 

@@ -269,6 +269,7 @@ def dino_forward(
     *,
     want_cls_attention: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Run the ViT and return the reference hook contract.
 
@@ -311,16 +312,15 @@ def dino_forward(
     n_layers = len(params["layers"])
     out: Dict[str, jnp.ndarray] = {}
 
-    for i, layer in enumerate(params["layers"]):
-        is_last = i == n_layers - 1
+    def layer_fn(x, layer, is_last: bool):
+        aux: Dict[str, jnp.ndarray] = {}
         h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
         q = _dense(h, layer["q"], dtype)
         k = _dense(h, layer["k"], dtype)
         v = _dense(h, layer["v"], dtype)
 
         if is_last:
-            out["key_tokens"] = k
-            out["key_features"] = k[:, 1:, :].reshape(b, gh, gw, cfg.hidden_size)
+            aux["key_tokens"] = k
             if want_cls_attention:
                 # CLS-row attention probs only: (B, nh, 1, d) @ (B, nh, d, L)
                 qh = q[:, :1, :].reshape(b, 1, cfg.num_heads, cfg.head_dim)
@@ -329,7 +329,7 @@ def dino_forward(
                     jnp.einsum("bqhd,bkhd->bhqk", qh, kh, precision=HI).astype(jnp.float32)
                     * scale
                 )
-                out["cls_attention"] = jax.nn.softmax(logits, axis=-1)[:, :, 0, :]
+                aux["cls_attention"] = jax.nn.softmax(logits, axis=-1)[:, :, 0, :]
 
         attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)
         attn = _dense(attn, layer["out"], dtype)
@@ -350,7 +350,20 @@ def dino_forward(
         h2 = _dense(h2, layer["fc2"], dtype)
         if cfg.use_layerscale:
             h2 = h2 * layer["ls2"].astype(dtype)
-        x = x + h2
+        return x + h2, aux
+
+    # remat trades recompute for activation memory when the backbone is part
+    # of a differentiated path (LoRA fine-tuning)
+    run_layer = jax.checkpoint(layer_fn, static_argnums=(2,)) if remat else layer_fn
+
+    for i, layer in enumerate(params["layers"]):
+        x, aux = run_layer(x, layer, i == n_layers - 1)
+        if aux:
+            out.update(aux)
+    if "key_tokens" in out:
+        out["key_features"] = out["key_tokens"][:, 1:, :].reshape(
+            b, gh, gw, cfg.hidden_size
+        )
 
     out["last_hidden"] = _layernorm(x, params["final_norm"], cfg.layer_norm_eps)
     return out
