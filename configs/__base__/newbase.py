@@ -1,29 +1,33 @@
-# Framework-wide defaults. Key layout mirrors the reference's public config
-# surface (configs/__base__/newbase.py) so user configs carry over unchanged.
+# Framework-wide defaults. Experiment configs override these through the
+# _BASE_ chain; the key layout matches the reference's public config surface
+# so user configs carry over unchanged.
+
+_save = dict(
+    save_mode="model",  # "model" = safetensors only; "all" = +optimizer state
+    save_interval=5,
+    start_save=-50,  # negative: relative to max_epoch
+)
+
 cfg = dict(
     work_dir="./work",
     train_cfg=dict(
         dist_train=True,
         max_epoch=25,
-        start_finetune=-5,
-        merge_alpha=0.5,
         start_epoch=0,
-        merge_method="dis",
+        start_finetune=-5,  # last |n| epochs: fresh optimizers, APM off
+        merge_method="dis",  # APM label merge driven by the discriminator
+        merge_alpha=0.5,
         add_noise=False,
         grad_norm=1.0,
-        save_cfg=dict(
-            save_mode="model",
-            save_interval=5,
-            start_save=-50,
-        ),
+        save_cfg=_save,
     ),
     model_cfg=dict(
         decoder="RevDecoder",
-        up_sample=False,
-        dis_use_features=True,
+        dim=768,
         feature_size=16,
         ema_weight=0.999,
-        dim=768,
+        dis_use_features=True,
+        up_sample=False,
         use_attention=False,
         conv_num=1,
     ),
@@ -31,16 +35,17 @@ cfg = dict(
         enable_val=True,
         val_interval=5,
         start_val=-50,
+        metric_workers=0,  # >0: process-pool metric scoring
     ),
     log_cfg=dict(
         name="ucod-dpl-tpu",
         log_path="./work/logs",
-        multi_rank=[0],
+        multi_rank=[0],  # which JAX processes emit logs
     ),
     dataset_cfg=dict(
         trainset_cfg=dict(type="USCODDataset"),
-        trainloader_cfg=dict(),
         valset_cfg=dict(type="USCODDataset"),
+        trainloader_cfg=dict(),
         val_loader_cfg=dict(),
     ),
     feature_extractor_cfg=dict(),
