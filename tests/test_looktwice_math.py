@@ -3,6 +3,7 @@
 """
 
 import math
+import os
 
 import numpy as np
 
@@ -56,8 +57,28 @@ def test_expand_bbox_dynamic_degenerate_guarded():
     assert out[2] == 0 and out[3] == 0  # sqrt(max(...,0)) = 0 -> empty box
 
 
+def test_look_twice_empty_bboxes_noop(tmp_path):
+    """All components under the 0.01 area filter -> mask returned unchanged
+    (regression: used to crash on crops[0])."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg
+    from ucod_dpl_tpu.engine import Runner
+    from ucod_dpl_tpu.engine.eval_loop import LookTwiceEvaluator
+
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=1)
+    cfg = _tiny_cfg(tmp_path)
+    runner = Runner(cfg, mode="eval")
+    ev = LookTwiceEvaluator(cfg, runner)
+    mask = np.zeros((56, 56), np.float32)
+    out = ev.look_twice("unused", [], mask)
+    np.testing.assert_array_equal(out, mask)
+
+
 def test_crop_buckets():
-    assert _bucket(1) == 1
+    # coarse buckets: each distinct size is a full-backbone XLA compile
+    assert _bucket(1) == 4
     assert _bucket(3) == 4
     assert _bucket(9) == 16
     assert _bucket(17) == 32

@@ -162,12 +162,15 @@ class LocalRefineEvaluator:
             if cropped:
                 outputs = self._center_pad(outputs)
 
-            # process_preds (loop_CORAL.py:313-341)
+            # process_preds (loop_CORAL.py:313-341); resize on host to avoid
+            # a per-image device round-trip
+            from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+
             in_01 = bool(np.all((outputs >= 0) & (outputs <= 1)))
             probs = outputs if in_01 else 1.0 / (1.0 + np.exp(-outputs))
             lh, lw = label.shape[:2]
-            up = interpolate_bilinear(jnp.asarray(_nchw(jnp.asarray(probs))), (lh, lw))
-            pred = (np.asarray(up)[0, 0] > 0.5).astype(np.float64)
+            up = interpolate_bilinear_np(np.transpose(probs, (0, 3, 1, 2)), (lh, lw))
+            pred = (up[0, 0] > 0.5).astype(np.float64)
 
             stats.step(label[None, :, :, 0], pred[None])
             if self.save_preds:

@@ -31,13 +31,16 @@ from ucod_dpl_tpu.data.transforms import image_transform
 from ucod_dpl_tpu.models.dba import rev_decoder_forward
 from ucod_dpl_tpu.models.dino import dino_forward
 from ucod_dpl_tpu.ops import interpolate_bilinear
+from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
 from ucod_dpl_tpu.utils.components import bounding_rect, connected_components
 from ucod_dpl_tpu.utils.fileio import ImageIO, save_binary_mask
 from ucod_dpl_tpu.utils.metrics import CODStatistics
 
 Image.MAX_IMAGE_PIXELS = None
 
-_CROP_BUCKETS = (1, 2, 4, 8, 16)
+# coarse buckets: each extra bucket is a separate XLA compilation of the
+# full backbone; padding 1-3 wasted crops is far cheaper than a compile
+_CROP_BUCKETS = (4, 16)
 
 
 def _bucket(n: int) -> int:
@@ -97,13 +100,15 @@ class LookTwiceEvaluator:
 
         @jax.jit
         def first_pass(decoder_params, features):
-            # features: (B, fh, fw, C) cached key features
+            # features: (B, fh, fw, C) cached key features. Masks come back
+            # as uint8 — 4x less device-to-host traffic than f32 (the
+            # transfer, not the compute, dominates eval on tunneled chips).
             f68 = interpolate_bilinear(
                 jnp.transpose(features, (0, 3, 1, 2)), (h, w)
             ).transpose(0, 2, 3, 1)
             fg, _, _ = rev_decoder_forward(decoder_params, f68, with_loss=False)
             up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), self.img_size)
-            return (jax.nn.sigmoid(up[:, 0]) > 0.5).astype(jnp.float32)  # (B, H, W)
+            return (jax.nn.sigmoid(up[:, 0]) > 0.5).astype(jnp.uint8)  # (B, H, W)
 
         @jax.jit
         def crop_pass(decoder_params, backbone_params, images):
@@ -124,23 +129,24 @@ class LookTwiceEvaluator:
     # ------------------------------------------------------------------
     def process_preds(self, binary_hw: np.ndarray) -> Optional[List[List[int]]]:
         """Component analysis -> bboxes to re-look at, or None
-        (loop_UCOD_DPL.py:354-384). ``binary_hw``: (H, W) {0,1}."""
+        (loop_UCOD_DPL.py:354-384). ``binary_hw``: (H, W) {0,1}.
+
+        Areas come from one bincount sweep (the reference's per-component
+        ``(labels==i).sum()`` list comprehension is O(components x H x W) —
+        seconds per image when predictions are noisy)."""
         h, w = self.img_size
         num, labels = connected_components(binary_hw)
-        areas = [float((labels == i).sum()) / (h * w) for i in range(1, num + 1)]
-        if not areas:
+        if num == 0:
             # reference quirk kept: fixed centre box (tuned for 518px inputs)
             return [[129, 129, 259, 259]]
-        if max(areas) >= self.look_twice_th:
+        areas = np.bincount(labels.ravel(), minlength=num + 1)[1:] / (h * w)
+        if areas.max() >= self.look_twice_th:
             return None
         bboxes = []
-        for i in range(1, num + 1):
-            if areas[i - 1] > 0.01:
-                comp = (labels == i).astype(np.uint8)
-                bbox = bounding_rect(comp)
-                bboxes.append(
-                    expand_bbox(comp, bbox, h, w, expand_type=self.expand_type)
-                )
+        for i in np.nonzero(areas > 0.01)[0]:
+            comp = (labels == i + 1).astype(np.uint8)
+            bbox = bounding_rect(comp)
+            bboxes.append(expand_bbox(comp, bbox, h, w, expand_type=self.expand_type))
         bboxes.sort(key=lambda b: -b[2] * b[3])
         return bboxes
 
@@ -149,6 +155,10 @@ class LookTwiceEvaluator:
     ) -> np.ndarray:
         """Crop-zoom-reinfer each bbox and paste the refined mask
         (loop_UCOD_DPL.py:326-352). Crops are batched through the backbone."""
+        if not bboxes:
+            # all components below the 0.01 area filter: nothing to re-look
+            # at (the reference loops over an empty list, loop:334)
+            return mask_hw
         ih, iw = self.img_size
         img = Image.open(img_path)
         new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
@@ -195,14 +205,17 @@ class LookTwiceEvaluator:
             paths = batch["img_path"]
 
             for binary, label, img_path in zip(binaries, labels, paths):
+                binary = binary.astype(np.float32)
                 if self.look_twice_enabled:
                     bboxes = self.process_preds(binary)
                     if bboxes is not None:
                         binary = self.look_twice(img_path, bboxes, binary)
 
                 lh, lw = label.shape[:2]
-                pred_t = interpolate_bilinear(jnp.asarray(binary)[None, None], (lh, lw))
-                pred = (np.asarray(pred_t)[0, 0] > 0.5).astype(np.float64)
+                # host resize: avoids an upload+download round-trip per image
+                pred = (interpolate_bilinear_np(binary, (lh, lw)) > 0.5).astype(
+                    np.float64
+                )
 
                 stats.step(label[None, :, :, 0], pred[None])
                 if self.save_preds:

@@ -27,6 +27,20 @@ from ucod_dpl_tpu.parallel import build_mesh
 from ucod_dpl_tpu.utils import Logger, get_logger
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: compiles survive across processes,
+    which matters enormously where compilation is remote/slow (each fresh
+    CLI process otherwise re-pays 20s+ per jitted shape)."""
+    try:
+        cache_dir = os.environ.get(
+            "UCOD_JAX_CACHE", os.path.expanduser("~/.cache/ucod_jax_cache")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 class Runner:
     """Stage-1 (UCOD-DPL) runner: student/EMA decoder + discriminator."""
 
@@ -36,6 +50,7 @@ class Runner:
         from ucod_dpl_tpu.parallel.distributed import maybe_initialize_distributed
 
         maybe_initialize_distributed()
+        _enable_compilation_cache()
         self._setup_dirs()
         self.logger = Logger(
             "ucod",

@@ -118,6 +118,20 @@ def interpolate_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return _apply_separable(x, _linear_weights(x.shape[-2], h), _linear_weights(x.shape[-1], w))
 
 
+def interpolate_bilinear_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Host-side twin of :func:`interpolate_bilinear` (same weight matrices,
+    NumPy matmuls).  Used where a device round-trip would cost more than the
+    resample itself — e.g. per-image mask resizing in the eval loops."""
+    h, w = int(size[0]), int(size[1])
+    x = np.asarray(x, dtype=np.float32)
+    if x.shape[-2] == h and x.shape[-1] == w:
+        return x
+    wh = _linear_weights(x.shape[-2], h)
+    ww = _linear_weights(x.shape[-1], w)
+    y = np.einsum("...hw,Hh->...Hw", x, wh)
+    return np.einsum("...Hw,Ww->...HW", y, ww)
+
+
 def interpolate_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """torch ``F.interpolate(x, size, mode='bicubic', align_corners=False)``
     for (..., H, W) arrays."""
