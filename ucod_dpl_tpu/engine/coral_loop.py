@@ -295,8 +295,5 @@ class LocalRefineTrainLoop:
             self._save(epoch + 1)
 
     def _save(self, epoch: int) -> None:
-        from ucod_dpl_tpu.models.udlr import save_refiner_checkpoint
-
-        path = os.path.join(self.runner.log_path, "refiner_ckp", f"epoch{epoch}.safetensors")
-        save_refiner_checkpoint(path, self.runner.refiner_params)
+        path = self.runner.save_refiner(epoch)
         self.runner.logger.log(f"Saved refiner checkpoint {path}")

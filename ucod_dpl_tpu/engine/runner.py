@@ -9,7 +9,6 @@ Accelerate-prepared modules.
 from __future__ import annotations
 
 import os
-import re
 from pathlib import Path
 from typing import Any, Dict, Optional
 
