@@ -191,12 +191,20 @@ class Runner:
     def launch_val_look_twice(self) -> Dict[str, float]:
         from .eval_loop import LookTwiceEvaluator
 
-        return LookTwiceEvaluator(self.cfg, self).run()
+        try:
+            return LookTwiceEvaluator(self.cfg, self).run()
+        except Exception as e:
+            self.logger.error(f"Validation failed: {e}")
+            raise
 
     def launch_train(self) -> None:
         from .train_loop import TrainLoop
 
-        TrainLoop(self.cfg, self).run()
+        try:
+            TrainLoop(self.cfg, self).run()
+        except Exception as e:
+            self.logger.error(f"Training failed: {e}")
+            raise
 
 
 class LocalRefineRunner(Runner):

@@ -131,11 +131,44 @@ class TrainLoop:
         self.runner.discriminator_stats = self.state.dis_stats
 
     # ------------------------------------------------------------------
+    def _install_preemption_handler(self):
+        """Checkpoint full state on SIGTERM/SIGINT (preemption safety —
+        SURVEY §5.3: the reference has no elastic/preemption story)."""
+        import signal
+
+        def handler(signum, frame):
+            from .checkpoint import save_train_state
+
+            path = f"{self.runner.ckp_dir}/state_preempt"
+            save_train_state(
+                path,
+                self.state,
+                {
+                    "epoch": self._cur_epoch,
+                    "finetune": self.finetune,
+                    "best_mae": self.best_mae,
+                },
+            )
+            self.runner.logger.log(
+                f"Preemption signal {signum}: state saved to {path}; resume with "
+                f"--resume {path}"
+            )
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # non-main thread
+                pass
+
     def run(self) -> None:
         logger = self.runner.logger
         logger.log(f"Starting training: {self.max_epoch} epochs")
         epoch = self.start_epoch
+        self._cur_epoch = epoch
+        self._install_preemption_handler()
         while epoch < self.max_epoch:
+            self._cur_epoch = epoch
             if not self.finetune and epoch == self.max_epoch + self.start_finetune:
                 self._enter_finetune()
 
