@@ -51,6 +51,21 @@ def test_bilateral_solver_snaps_mask_to_edge():
     assert err_out <= err_in
 
 
+def test_bbox_iou_and_batch_solver():
+    from ucod_dpl_tpu.utils.bilateral_solver import batch_apply_bilateral_solver, bbox_iou
+
+    assert bbox_iou((0, 0, 9, 9), (0, 0, 9, 9)) == 1.0
+    assert bbox_iou((0, 0, 9, 9), (10, 10, 19, 19)) == 0.0
+    v = bbox_iou((0, 0, 9, 9), (5, 0, 14, 9))
+    assert np.isclose(v, 50 / 150)
+
+    img = _edge_image()
+    mask = np.zeros(img.shape[:2], np.float32)
+    mask[:, : img.shape[1] // 2] = 1.0
+    outs = batch_apply_bilateral_solver([mask, mask], [img, img])
+    assert len(outs) == 2 and outs[0].shape == mask.shape
+
+
 def test_bbox_from_mask_largest_component():
     mask = np.zeros((20, 20))
     mask[2:5, 2:5] = 1  # area 9

@@ -181,6 +181,30 @@ def apply_bilateral_solver(
     return refined_bin.astype(np.float32), accepted
 
 
+def bbox_iou(box_a, box_b) -> float:
+    """IoU of (x0, y0, x1, y1) boxes (counterpart of misc.bbox_iou:193-253)."""
+    ax0, ay0, ax1, ay1 = box_a
+    bx0, by0, bx1, by1 = box_b
+    ix0, iy0 = max(ax0, bx0), max(ay0, by0)
+    ix1, iy1 = min(ax1, bx1), min(ay1, by1)
+    iw, ih = max(0, ix1 - ix0 + 1), max(0, iy1 - iy0 + 1)
+    inter = iw * ih
+    area_a = (ax1 - ax0 + 1) * (ay1 - ay0 + 1)
+    area_b = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+    union = area_a + area_b - inter
+    return inter / union if union else 0.0
+
+
+def batch_apply_bilateral_solver(masks, images, threshold: float = 0.5):
+    """Refine a batch of masks, keeping originals where the IoU gate rejects
+    (counterpart of misc.batch_apply_bilateral_solver:71-107)."""
+    out = []
+    for mask, image in zip(masks, images):
+        refined, accepted = apply_bilateral_solver(mask, image, threshold=threshold)
+        out.append(refined if accepted else np.asarray(mask, np.float32))
+    return out
+
+
 def bbox_from_mask(mask: np.ndarray) -> Tuple[int, int, int, int]:
     """(x0, y0, x1, y1) of the largest connected component (counterpart of
     get_bbox_from_segmentation_labels, misc.py:158-190)."""
