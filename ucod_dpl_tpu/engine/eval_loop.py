@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -33,7 +32,7 @@ from ucod_dpl_tpu.models.dino import dino_forward
 from ucod_dpl_tpu.ops import interpolate_bilinear
 from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
 from ucod_dpl_tpu.utils.components import bounding_rect, connected_components
-from ucod_dpl_tpu.utils.fileio import ImageIO, save_binary_mask
+from ucod_dpl_tpu.utils.fileio import save_binary_mask
 from ucod_dpl_tpu.utils.metrics import CODStatistics
 
 Image.MAX_IMAGE_PIXELS = None
@@ -155,9 +154,11 @@ class LookTwiceEvaluator:
     ) -> np.ndarray:
         """Crop-zoom-reinfer each bbox and paste the refined mask
         (loop_UCOD_DPL.py:326-352). Crops are batched through the backbone."""
+        # drop degenerate boxes (the dynamic sqrt guard can emit zero-size
+        # boxes where the reference's math.sqrt would have raised)
+        bboxes = [b for b in bboxes if b[2] > 0 and b[3] > 0]
         if not bboxes:
-            # all components below the 0.01 area filter: nothing to re-look
-            # at (the reference loops over an empty list, loop:334)
+            # nothing to re-look at (the reference loops over an empty list)
             return mask_hw
         ih, iw = self.img_size
         img = Image.open(img_path)
@@ -166,7 +167,7 @@ class LookTwiceEvaluator:
         crops = []
         for bbox in bboxes:
             x, y, w, h = resize_bbox(bbox, iw, ih, img.size[0], img.size[1])
-            cropped = img.crop((x, y, x + w, y + h))
+            cropped = img.crop((x, y, x + max(w, 1), y + max(h, 1)))
             crops.append(image_transform(cropped.convert("RGB"), self.img_size))
 
         n = len(crops)
@@ -198,9 +199,17 @@ class LookTwiceEvaluator:
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         logger.log(f"start validate on {dataset_name}")
 
+        loader_bs = self.runner.val_dataloader.batch_size
         for batch in self.runner.val_dataloader:
-            features = batch["features"]  # (B, fh, fw, C)
-            binaries = np.asarray(self._first_pass(self.runner.decoder_params, features))
+            features = np.asarray(batch["features"])  # (B, fh, fw, C)
+            n = features.shape[0]
+            if n < loader_bs:  # pad the tail batch: avoids a fresh XLA compile
+                features = np.concatenate(
+                    [features, np.repeat(features[-1:], loader_bs - n, axis=0)]
+                )
+            binaries = np.asarray(
+                self._first_pass(self.runner.decoder_params, features)
+            )[:n]
             labels = batch["label"]
             paths = batch["img_path"]
 

@@ -110,9 +110,8 @@ class TrainLoop:
         mesh = self.runner.mesh
         features = np.asarray(batch["features"], dtype=np.float32)
         plabels = batch["pseudo_label"]
-        if isinstance(plabels, list) or plabels is None or any(
-            p is None for p in (plabels if isinstance(plabels, list) else [plabels])
-        ):
+        # collate passes Nones/raggeds through as a list -> no usable cache
+        if plabels is None or isinstance(plabels, list):
             raise RuntimeError(
                 "Training requires a pseudo-label cache; run "
                 "scripts/generate_pseudo_label.py first."
