@@ -270,6 +270,7 @@ def dino_forward(
     want_cls_attention: bool = False,
     compute_dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
+    tp_shard: Optional[tuple] = None,  # (Mesh, axis): heads sharded over axis
 ) -> Dict[str, jnp.ndarray]:
     """Run the ViT and return the reference hook contract.
 
@@ -331,7 +332,15 @@ def dino_forward(
                 )
                 aux["cls_attention"] = jax.nn.softmax(logits, axis=-1)[:, :, 0, :]
 
-        attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)
+        if tp_shard is not None:
+            from ucod_dpl_tpu.ops.attention import tp_multi_head_attention
+
+            attn = tp_multi_head_attention(
+                q, k, v, cfg.num_heads, scale=scale,
+                mesh=tp_shard[0], axis=tp_shard[1],
+            )
+        else:
+            attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)
         attn = _dense(attn, layer["out"], dtype)
         if cfg.use_layerscale:
             attn = attn * layer["ls1"].astype(dtype)

@@ -182,6 +182,37 @@ def use_pallas() -> bool:
         return False
 
 
+def tp_multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float,
+    mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Tensor-parallel attention: D (=heads) sharded over ``axis``.
+
+    Attention is head-local, so each shard runs the kernel on its own head
+    slice with ZERO communication — shard_map keeps GSPMD from gathering the
+    full projection. Requires num_heads divisible by the axis size."""
+    tp = mesh.shape[axis]
+    if tp == 1:
+        return multi_head_attention(q, k, v, num_heads, scale=scale)
+    assert num_heads % tp == 0, f"{num_heads} heads not divisible by {axis}={tp}"
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, None, axis)
+
+    def local_attn(ql, kl, vl):
+        return multi_head_attention(ql, kl, vl, num_heads // tp, scale=scale)
+
+    return jax.shard_map(
+        local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
