@@ -94,6 +94,45 @@ def test_decoder_checkpoint_parity(ref_modules, ckpt):
     assert np.isclose(float(ortho_j), float(ortho_t), rtol=1e-3, atol=1e-6)
 
 
+def test_reverse_interop_jax_checkpoint_into_torch(ref_modules, tmp_path):
+    """Checkpoints saved by THIS framework load into the torch reference and
+    produce the same outputs (bidirectional interchange)."""
+    import torch
+    from safetensors.torch import load_file as torch_load
+
+    import jax
+
+    from ucod_dpl_tpu.models.dba import init_rev_decoder, rev_decoder_forward
+
+    dba_mod, _ = ref_modules
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    student = init_rev_decoder(k1, 768)
+    ema = init_rev_decoder(k2, 768)
+    path = str(tmp_path / "ours.safetensors")
+    save_decoder_checkpoint(path, student, ema)
+
+    torch_model = dba_mod.RevDecoder(_Cfg(dim=768))
+    torch_model.load_state_dict(
+        {
+            k[len("decoder.") :]: v
+            for k, v in torch_load(path).items()
+            if k.startswith("decoder.") and not k.startswith("decoder_ema.")
+        }
+    )
+    torch_model.eval()
+
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((1, 768, 34, 34)).astype(np.float32)
+    with torch.no_grad():
+        fg_t, _, _ = torch_model(torch.from_numpy(feats))
+    fg_j, _, _ = rev_decoder_forward(
+        student, jnp.asarray(np.transpose(feats, (0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(
+        np.asarray(fg_j)[..., 0], fg_t.numpy()[:, 0], rtol=1e-4, atol=1e-4
+    )
+
+
 def test_decoder_checkpoint_roundtrip(tmp_path):
     student, ema = load_decoder_checkpoint(CKPT_V2)
     out = tmp_path / "resaved.safetensors"

@@ -272,6 +272,13 @@ class LocalRefineTrainLoop:
         # refiner-only parameters are trained; num_heads is static metadata
         trainable = {k: v for k, v in runner.refiner_params.items() if k != "num_heads"}
         opt_state = self.optimizer.init(trainable)
+        # EMA refiner: the config's ema_weight=0.70 / start_ema=1 belong to
+        # the unreleased reference trainer; we track an EMA copy from epoch
+        # `start_ema` with the stage-1 alpha-ramp semantics
+        ema_weight = self.cfg.model_cfg.get("ema_weight", 0.70)
+        start_ema = self.cfg.get("start_ema", 1)
+        ema_params = jax.tree.map(lambda x: x, trainable)
+        step = 0
         for epoch in range(self.max_epoch):
             lr = self.lr0 * self.gamma ** (epoch // self.step_size)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -283,9 +290,18 @@ class LocalRefineTrainLoop:
                     trainable, opt_state, runner.decoder_params, l_feat, h_feat, preds
                 )
                 losses.append(float(loss))
+                if epoch >= start_ema:
+                    alpha = min(1.0 - 1.0 / (step + 1.0), ema_weight)
+                    ema_params = jax.tree.map(
+                        lambda e, p: alpha * e + (1.0 - alpha) * p, ema_params, trainable
+                    )
+                    step += 1
+                else:
+                    ema_params = jax.tree.map(lambda x: x, trainable)
             runner.logger.log(
                 f"[stage2] epoch {epoch}: loss={np.mean(losses):.4f} lr={self._lr:.2e}"
             )
+            self.ema_params = ema_params
             runner.refiner_params = {**trainable, "num_heads": runner.refiner_params["num_heads"]}
             vc = self.cfg.val_cfg
             if (epoch + 1) % vc.get("val_interval", 4) == 0 and (epoch + 1) >= vc.get(
