@@ -1,0 +1,24 @@
+"""Driver contract: __graft_entry__ must expose entry() and a working
+multi-chip dry run on the virtual CPU mesh."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_shapes():
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    # trace-only check on CPU (full 518px forward executes in bench/driver)
+    shape = jax.eval_shape(fn, *args)
+    assert shape.shape == (1, 37, 37)

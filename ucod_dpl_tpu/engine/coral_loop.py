@@ -313,3 +313,13 @@ class LocalRefineTrainLoop:
     def _save(self, epoch: int) -> None:
         path = self.runner.save_refiner(epoch)
         self.runner.logger.log(f"Saved refiner checkpoint {path}")
+        if getattr(self, "ema_params", None) is not None:
+            from ucod_dpl_tpu.models.udlr import save_refiner_checkpoint
+
+            ema_path = os.path.join(
+                self.runner.log_path, "refiner_ckp", f"epoch{epoch}_ema.safetensors"
+            )
+            save_refiner_checkpoint(
+                ema_path,
+                {**self.ema_params, "num_heads": self.runner.refiner_params["num_heads"]},
+            )
