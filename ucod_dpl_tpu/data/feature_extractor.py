@@ -82,31 +82,49 @@ class FeatureExtractor:
         return init_dino(jax.random.PRNGKey(seed), self.config)
 
     def _forward(self, want_attn: bool):
+        """Jitted forwards that return ONLY the needed outputs — selecting
+        inside the jit boundary lets XLA dead-code-eliminate everything after
+        the last block's key projection (its attention/MLP, the final
+        layernorm) on the feature-extraction path."""
         key = ("fwd", want_attn)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                partial(
-                    dino_forward,
-                    cfg=self.config,
-                    want_cls_attention=want_attn,
-                    compute_dtype=self.compute_dtype,
-                )
-            )
+            if want_attn:
+
+                def fwd(params, pixels):
+                    out = dino_forward(
+                        params,
+                        pixels,
+                        cfg=self.config,
+                        want_cls_attention=True,
+                        compute_dtype=self.compute_dtype,
+                    )
+                    return (
+                        out["key_tokens"].astype(jnp.float32),
+                        out["key_features"].astype(jnp.float32),
+                        out["cls_attention"].astype(jnp.float32),
+                    )
+
+            else:
+
+                def fwd(params, pixels):
+                    out = dino_forward(
+                        params,
+                        pixels,
+                        cfg=self.config,
+                        compute_dtype=self.compute_dtype,
+                    )
+                    return out["key_features"].astype(jnp.float32)
+
+            self._jitted[key] = jax.jit(fwd)
         return self._jitted[key]
 
     def extract(self, images_nhwc: np.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) normalised images -> (B, h, w, hidden) key features."""
-        out = self._forward(False)(self.params, jnp.asarray(images_nhwc))
-        return out["key_features"].astype(jnp.float32)
+        return self._forward(False)(self.params, jnp.asarray(images_nhwc))
 
     def extract_with_attention(
         self, images_nhwc: np.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns (key_tokens (B,1+N,C), key_features NHWC, cls_attention
         (B, nh, 1+N)) — the pseudo-label generator contract."""
-        out = self._forward(True)(self.params, jnp.asarray(images_nhwc))
-        return (
-            out["key_tokens"].astype(jnp.float32),
-            out["key_features"].astype(jnp.float32),
-            out["cls_attention"].astype(jnp.float32),
-        )
+        return self._forward(True)(self.params, jnp.asarray(images_nhwc))
