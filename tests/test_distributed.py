@@ -48,7 +48,6 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(180)
 def test_two_process_metric_gather(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
