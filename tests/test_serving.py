@@ -1,0 +1,66 @@
+"""Serving API: load-once predict-many, mixed input types, batch bucketing."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from ucod_dpl_tpu.config import CfgNode
+from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+from ucod_dpl_tpu.models.dba import init_rev_decoder
+from ucod_dpl_tpu.serving import Predictor
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    fe = FeatureExtractor(
+        CfgNode(
+            {
+                "type": "dinov2",
+                "backbone": "facebook/dinov2-base",
+                "backbone_weights": "none",
+                "arch": {
+                    "hidden_size": DIM,
+                    "num_layers": 2,
+                    "num_heads": 4,
+                    "patch_size": 14,
+                    "image_size": 56,
+                },
+            }
+        )
+    )
+    decoder = init_rev_decoder(jax.random.PRNGKey(0), DIM)
+    return Predictor(fe, decoder, image_size=(56, 56), feature_size=8, max_batch=4)
+
+
+def test_predict_paths_and_arrays(predictor, tmp_path):
+    rng = np.random.default_rng(0)
+    path = tmp_path / "x.jpg"
+    Image.fromarray((rng.random((80, 100, 3)) * 255).astype(np.uint8)).save(path)
+    raw = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
+
+    masks = predictor.predict([str(path), raw])
+    assert len(masks) == 2
+    for m in masks:
+        assert m.shape == (56, 56)
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+
+
+def test_predict_batching_consistency(predictor, tmp_path):
+    """Results must not depend on how inputs are batched/bucketed."""
+    rng = np.random.default_rng(1)
+    images = [(rng.random((50, 60, 3)) * 255).astype(np.uint8) for _ in range(5)]
+    singly = [predictor.predict([im])[0] for im in images]
+    batched = predictor.predict(images)  # 5 inputs across buckets (4 + 1)
+    for a, b in zip(singly, batched):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_predict_output_size(predictor):
+    rng = np.random.default_rng(2)
+    raw = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
+    (mask,) = predictor.predict([raw], output_size=(64, 72))
+    assert mask.shape == (64, 72)

