@@ -11,3 +11,20 @@ algorithm is inherently sequential (connected components, streaming metrics).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (keeps bare `import ucod_dpl_tpu` dependency-free)
+    if name == "Predictor":
+        from ucod_dpl_tpu.serving import Predictor
+
+        return Predictor
+    if name == "Runner":
+        from ucod_dpl_tpu.engine import Runner
+
+        return Runner
+    if name == "load_config":
+        from ucod_dpl_tpu.config import load_config
+
+        return load_config
+    raise AttributeError(name)
