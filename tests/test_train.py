@@ -238,6 +238,7 @@ def test_train_e2e_tiny(tmp_path):
         (rng.random((4, 4, 1)) > 0.5).astype(np.float32) for _ in range(4)
     ])
 
+    cfg.train_cfg.save_cfg.save_mode = "all"
     runner = Runner(cfg, mode="train")
     runner.launch_train()
 
@@ -249,3 +250,14 @@ def test_train_e2e_tiny(tmp_path):
     # params must have moved and stay finite
     w = np.asarray(runner.decoder_params.decoupling_w)
     assert np.all(np.isfinite(w))
+
+    # full-state checkpoints written; resume continues from the saved epoch
+    states = glob.glob(os.path.join(cfg.log_cfg.log_path, "ckp", "state_epoch*.npz"))
+    assert len(states) == 2
+    resume_base = states[0][: -len(".npz")]
+    cfg2 = cfg
+    cfg2.train_cfg.resume = resume_base
+    cfg2.train_cfg.max_epoch = 3  # one more epoch after the resumed point
+    runner2 = Runner(cfg2, mode="train")
+    runner2.launch_train()
+    assert np.all(np.isfinite(np.asarray(runner2.decoder_params.decoupling_w)))
