@@ -335,8 +335,14 @@ class CODStatistics:
     def _ensure_pool(self):
         if self._pool is None:
             import concurrent.futures
+            import multiprocessing
 
-            self._pool = concurrent.futures.ProcessPoolExecutor(max_workers=self.workers)
+            # spawn, not fork: the host process runs JAX's thread pool, and
+            # forking a multithreaded process can deadlock
+            self._pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=self.workers,
+                mp_context=multiprocessing.get_context("spawn"),
+            )
         return self._pool
 
     def step(self, gt: np.ndarray, pred: np.ndarray) -> None:
