@@ -6,6 +6,11 @@ this framework completes it with the shipped IoU-weighted distillation loss
 (see engine/coral_loop.LocalRefineTrainLoop).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from scripts.args import parse_args
 from scripts.common import init_cfg
 

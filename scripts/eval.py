@@ -3,6 +3,11 @@
 Counterpart of reference ``scripts/eval.py``.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from scripts.args import parse_args
 from scripts.common import init_cfg
 

@@ -1,5 +1,10 @@
 """Stage-1 UCOD-DPL training entry point (counterpart of scripts/train.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from scripts.args import parse_args
 from scripts.common import init_cfg
 
