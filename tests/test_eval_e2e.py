@@ -102,7 +102,7 @@ def test_eval_end_to_end(tmp_path):
 
     # feature cache written once, reread on second construction
     feat_dir = os.path.join(
-        str(tmp_path / "cache"), "features_cache", "dinov2", "val", "TINY"
+        str(tmp_path / "cache"), "features_cache", "dinov2", "test", "TINY"
     )
     assert os.path.exists(os.path.join(feat_dir, "index.json"))
     runner2 = Runner(cfg, mode="eval")

@@ -139,7 +139,11 @@ class Runner:
             )
         valset_cfg = dc.valset_cfg
         keep_size = valset_cfg.get("keep_size", self.mode != "train")
-        self.val_dataset = self._make_dataset(valset_cfg, "val", keep_size=keep_size)
+        # cache-path mode is "test": the reference's val loaders are built
+        # with mode='test' (dataloader_utils.create_test_loader), so caches
+        # land under features_cache/{extractor}/test/{DATASET} — matching
+        # that layout makes our caches and the reference's interchangeable.
+        self.val_dataset = self._make_dataset(valset_cfg, "test", keep_size=keep_size)
         vl = dc.val_loader_cfg
         self.val_dataloader = DataLoader(
             self.val_dataset,

@@ -388,6 +388,11 @@ class CODStatistics:
 
     def get_result(self) -> Dict[str, float]:
         self._drain()
+        if not self._e_curves:
+            raise ValueError(
+                "CODStatistics.get_result: no samples were scored — "
+                "is the dataset directory empty or the DATASET name wrong?"
+            )
         e_curve = np.mean(np.stack(self._e_curves), axis=0)
         f_curve = np.mean(np.stack(self._f_curves), axis=0)
         return {
