@@ -1,0 +1,104 @@
+"""Attention round 4: full-coverage 1408 padding (block_q=352) + scale-on-q."""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bench_attention2 import timeit, make_v3
+from ucod_dpl_tpu.ops.attention import _pallas_attention_packed
+
+B, L, NH, HD = 16, 1370, 12, 64
+D = NH * HD
+SCALE = 1.0 / np.sqrt(HD)
+
+
+def _ceil_to(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _kernel_v5(q_ref, k_ref, v_ref, o_ref, *, seq_len, scale, head_dim):
+    """v3 + scale folded into q (64 cols) instead of s (Lp cols)."""
+    col = None
+    outs = []
+    for h in range(2):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0][:, sl],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        outs.append(o / denom)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def make_v5(block_q, lp):
+    assert lp % block_q == 0 and lp >= L
+    def run(q, k, v):
+        b, seq_len, d_model = q.shape
+        hd = HD
+        pad = [(0, 0), (0, lp - seq_len), (0, 0)]
+        qp = jnp.pad(q, pad)
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+        grid = (b, NH // 2, lp // block_q)
+        out = pl.pallas_call(
+            functools.partial(_kernel_v5, seq_len=seq_len, scale=SCALE, head_dim=hd),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lp, 2 * hd), lambda bb, h, i: (bb, 0, h), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lp, 2 * hd), lambda bb, h, i: (bb, 0, h), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, lp, d_model), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(qp, kp, vp)
+        return out[:, :seq_len, :]
+
+    return run
+
+
+def main():
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, L, D), jnp.bfloat16)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (B, L, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, L, D), jnp.bfloat16)
+
+    timeit("current packed", lambda a, b_, c: _pallas_attention_packed(a, b_, c, NH, SCALE), q, kk, v)
+    timeit("v3 (block_q=256, lp=1536)", make_v3(256), q, kk, v)
+    timeit("v5 scaleq (block_q=352, lp=1408)", make_v5(352, 1408), q, kk, v)
+    timeit("v5 scaleq (block_q=704, lp=1408)", make_v5(704, 1408), q, kk, v)
+    timeit("v5 scaleq (block_q=1408, lp=1408)", make_v5(1408, 1408), q, kk, v)
+    timeit("v5 scaleq (block_q=256, lp=1536)", make_v5(256, 1536), q, kk, v)
+
+    ref = _pallas_attention_packed(q, kk, v, NH, SCALE)
+    for name, fn in [("v5(352,1408)", make_v5(352, 1408)), ("v5(704,1408)", make_v5(704, 1408))]:
+        got = fn(q, kk, v)
+        err = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
+        # also check tail rows actually computed
+        tail = jnp.max(jnp.abs(got[:, -64:, :].astype(jnp.float32)))
+        print(f"{name}: max abs err {float(err):.2e}; tail magnitude {float(tail):.3f}")
+
+
+if __name__ == "__main__":
+    main()

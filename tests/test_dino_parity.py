@@ -199,5 +199,5 @@ def test_pallas_packed_attention_interpret_matches_mha():
     ref = A._xla_attention(split(q), split(k), split(v), scale=0.1)
     ref = np.asarray(ref).reshape(b, nh, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d)
     with pltpu.force_tpu_interpret_mode():
-        ours = A._pallas_attention_packed(q, k, v, nh, 0.1, block_q=128)
+        ours = A._pallas_attention_packed(q, k, v, nh, 0.1)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)

@@ -204,3 +204,115 @@ def test_stage1_pipeline_equivalence(ref, tmp_path, monkeypatch):
         b = np.asarray(Image.open(os.path.join(our_preds, name))) > 127
         assert a.shape == b.shape
         assert np.mean(a != b) < 0.01, (name, np.mean(a != b))
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 (CORAL / UDLR eval)
+# ---------------------------------------------------------------------------
+
+WL = 14  # window_length: small keeps the CPU cross-attention cheap
+
+
+def _ref_cfg_coral(ref, tmp_path):
+    return ref.config.CfgNode(
+        {
+            "train_cfg": {"dist_train": False},
+            "val_cfg": {},
+            "model_cfg": {"dim": DIM, "feature_size": FEAT, "window_length": WL},
+            "log_cfg": {"log_path": str(tmp_path / "ref_logs")},
+            "dataset_cfg": {
+                "dataset_dir": str(tmp_path / "data"),
+                "cache_dir": str(tmp_path / "cache"),
+                "feature_extractor_cfg": {
+                    "type": "dinov2",
+                    "backbone_type": "huggingface",
+                    "backbone": "facebook/dinov2-base",
+                    "backbone_weights": str(tmp_path / "none"),
+                    "backbone_weight_base": str(tmp_path / "none"),
+                },
+                "valset_cfg": {
+                    "DATASET": "TINY",
+                    "image_size": (IMG, IMG),
+                    "require_label": True,
+                    "require_m_patches": True,
+                    "use_cache": True,
+                },
+                "val_loader_cfg": {"batch_size": 1, "num_workers": 0},
+            },
+        }
+    )
+
+
+def _our_cfg_coral(tmp_path):
+    cfg = _our_cfg(tmp_path)
+    cfg.model_cfg.window_length = WL
+    cfg.model_cfg.window_size = 3
+    cfg.model_cfg.threshold = 0.0015
+    cfg.dataset_cfg.valset_cfg.require_m_patches = True
+    return cfg
+
+
+def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch):
+    import torch
+    from safetensors.torch import load_file as torch_load_file
+
+    from ucod_dpl_tpu.engine.runner import LocalRefineRunner
+    from ucod_dpl_tpu.models.safetensors_io import save_decoder_checkpoint
+    from ucod_dpl_tpu.models.udlr import init_sparse_refiner, save_refiner_checkpoint
+
+    patch_cuda_to_cpu(monkeypatch)
+    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=3)
+
+    hf_model, our_backbone_params, _ = build_shared_backbone(
+        hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
+    )
+    monkeypatch.setattr(
+        ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
+    )
+
+    dec = confident_decoder_params(DIM, seed=0)
+    dec_ema = confident_decoder_params(DIM, seed=1)
+    dec_ckpt = str(tmp_path / "decoder.safetensors")
+    save_decoder_checkpoint(dec_ckpt, dec, dec_ema)
+
+    import jax
+
+    refiner_params = init_sparse_refiner(jax.random.PRNGKey(7), dim=DIM)
+    refiner_ckpt = str(tmp_path / "refiner.safetensors")
+    save_refiner_checkpoint(refiner_ckpt, refiner_params)
+
+    # --- reference oracle ------------------------------------------------------
+    ref_cfg = _ref_cfg_coral(ref, tmp_path)
+    ref_loader = ref.dataloader_utils.DataLoaderFactory.create_lr_test_loader(
+        ref_cfg.dataset_cfg, logger=SilentLogger(), window_size=3
+    )  # builds feature/patch/m_patch caches on disk
+    ref_model = ref.uscod.baseline(ref_cfg.model_cfg).eval()
+    res = ref_model.load_state_dict(torch_load_file(dec_ckpt))
+    assert not res.missing_keys and not res.unexpected_keys
+    ref_refiner = ref.UDLR.SparseRefiner(
+        config=None, window_size=3, threshold=0.0015, dim=DIM
+    ).eval()
+    res = ref_refiner.load_state_dict(torch_load_file(refiner_ckpt))
+    assert not res.missing_keys and not res.unexpected_keys
+
+    with torch.no_grad():
+        ref_result = ref.loop_coral.LocalRefineValidationLoop(
+            ref_cfg, FakeRunner(ref_model, ref_loader, refiner=ref_refiner)
+        ).run()
+
+    # --- ours --------------------------------------------------------------------
+    cfg = _our_cfg_coral(tmp_path)
+    runner = LocalRefineRunner(cfg, mode="val")
+    runner.feature_extractor.params = our_backbone_params
+    runner.decoder_params = dec
+    runner.decoder_ema_params = dec_ema
+    runner.refiner_params = refiner_params
+    for kind in ("features", "patch", "m_patch"):
+        assert runner.val_dataset.caches.get(kind).mode == "r", kind
+    our_result = runner.launch_val()
+
+    assert set(our_result) == set(ref_result)
+    for key in ref_result:
+        assert np.isclose(our_result[key], ref_result[key], atol=2e-3), (
+            key, our_result[key], ref_result[key],
+        )
