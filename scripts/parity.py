@@ -1,0 +1,200 @@
+"""One-command quality-parity runner against the published reference tables.
+
+Given pretrained DINO weights and the COD datasets, runs stage-1 (UCOD-DPL,
+LookTwice) and optionally stage-2 (CORAL/UDLR) evaluation over the four
+standard test sets and compares every metric against a machine-readable copy
+of BASELINE.md (transcribed from the reference's published tables,
+``images/performance_UCOD-DPL.png`` / ``performance_CORAL.png``,
+README.md:61-71).
+
+    python scripts/parity.py \
+        --data-dir /data/RefCOD --cache-dir /data/cache \
+        --backbone-weights /weights/hf \
+        --decoder-v2 /root/reference/weights/UCOD_DPL_dinov2.safetensors \
+        [--decoder-v1 ...] [--refiner-v2 ...] [--tolerance 0.01] \
+        [--report parity_report.json] [--datasets CHAMELEON,NC4K]
+
+Exit code 0 iff every compared metric is within ``--tolerance`` of the
+published value.  ``--allow-random-backbone`` keeps the run alive without
+pretrained weights (plumbing tests only — numbers will not match).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("UCOD_FORCE_CPU"):  # tests: the axon plugin ignores JAX_PLATFORMS
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+# (stage, variant, dataset) -> {metric: published value}
+# metric keys use OUR result-dict names: Sm=SMeasure, Fbw=WFM, Fbm=F_MEAN,
+# Ephi-m=E_MEAN, M=MAE (reference metric.py:60-74 emits the same keys).
+BASELINE = {}
+_S1 = {
+    "dinov1": {
+        "CHAMELEON": (0.734, 0.625, 0.680, 0.854, 0.072),
+        "TE-CAMO": (0.706, 0.621, 0.689, 0.801, 0.108),
+        "TE-COD10K": (0.727, 0.577, 0.627, 0.822, 0.059),
+        "NC4K": (0.761, 0.680, 0.737, 0.851, 0.074),
+    },
+    "dinov2": {
+        "CHAMELEON": (0.864, 0.825, 0.838, 0.931, 0.031),
+        "TE-CAMO": (0.793, 0.747, 0.779, 0.862, 0.077),
+        "TE-COD10K": (0.834, 0.763, 0.779, 0.916, 0.031),
+        "NC4K": (0.850, 0.818, 0.835, 0.923, 0.043),
+    },
+}
+_CORAL = {
+    "dinov1": {
+        "CHAMELEON": (0.757, 0.660, 0.714, 0.857, 0.066),
+        "TE-CAMO": (0.715, 0.635, 0.704, 0.803, 0.105),
+        "TE-COD10K": (0.742, 0.600, 0.646, 0.822, 0.055),
+        "NC4K": (0.775, 0.702, 0.757, 0.853, 0.070),
+    },
+    "dinov2": {
+        "CHAMELEON": (0.882, 0.850, 0.863, 0.945, 0.027),
+        "TE-CAMO": (0.811, 0.771, 0.802, 0.877, 0.071),
+        "TE-COD10K": (0.842, 0.772, 0.788, 0.914, 0.027),
+        "NC4K": (0.863, 0.834, 0.853, 0.926, 0.038),
+    },
+}
+_METRIC_KEYS = ("SMeasure", "WFM", "F_MEAN", "E_MEAN", "MAE")
+for variant, tbl in _S1.items():
+    for ds, vals in tbl.items():
+        BASELINE[("UCOD-DPL", variant, ds)] = dict(zip(_METRIC_KEYS, vals))
+for variant, tbl in _CORAL.items():
+    for ds, vals in tbl.items():
+        BASELINE[("CORAL", variant, ds)] = dict(zip(_METRIC_KEYS, vals))
+
+DEFAULT_DATASETS = ["CHAMELEON", "TE-CAMO", "TE-COD10K", "NC4K"]
+
+
+def _load_cfg(variant: str, args):
+    from ucod_dpl_tpu.config import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "uscod", f"UCOD-DPL_{variant}.py"))
+    cfg.dataset_cfg.dataset_dir = args.data_dir
+    cfg.dataset_cfg.cache_dir = args.cache_dir
+    if args.backbone_weights:
+        cfg.dataset_cfg.feature_extractor_cfg.backbone_weights = args.backbone_weights
+    cfg.dataset_cfg.feature_extractor_cfg.strict_weights = not args.allow_random_backbone
+    cfg.mode = "eval"
+    cfg.dataset_cfg.valset_cfg.keep_size = True
+    cfg.work_dir = args.work_dir
+    cfg.log_cfg.log_path = os.path.join(args.work_dir, f"parity_{variant}")
+    return cfg
+
+
+def _load_coral_cfg(variant: str, args):
+    from ucod_dpl_tpu.config import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "configs", "uscod", f"CORAL_{variant}.py"))
+    cfg.dataset_cfg.dataset_dir = args.data_dir
+    cfg.dataset_cfg.cache_dir = args.cache_dir
+    if args.backbone_weights:
+        cfg.dataset_cfg.feature_extractor_cfg.backbone_weights = args.backbone_weights
+    cfg.dataset_cfg.feature_extractor_cfg.strict_weights = not args.allow_random_backbone
+    cfg.mode = "eval"
+    cfg.dataset_cfg.valset_cfg.keep_size = True
+    cfg.work_dir = args.work_dir
+    cfg.log_cfg.log_path = os.path.join(args.work_dir, f"parity_coral_{variant}")
+    return cfg
+
+
+def run_stage1(variant: str, decoder_ckpt: str, datasets, args, report):
+    from ucod_dpl_tpu.engine import Runner
+
+    cfg = _load_cfg(variant, args)
+    for ds in datasets:
+        cfg.dataset_cfg.valset_cfg.DATASET = ds
+        runner = Runner(cfg, mode="eval", load_from=decoder_ckpt)
+        result = runner.launch_val_look_twice()
+        _compare(report, ("UCOD-DPL", variant, ds), result, args.tolerance)
+
+
+def run_coral(variant: str, decoder_ckpt: str, refiner_ckpt: str, datasets, args, report):
+    from ucod_dpl_tpu.engine.runner import LocalRefineRunner
+
+    cfg = _load_coral_cfg(variant, args)
+    for ds in datasets:
+        cfg.dataset_cfg.valset_cfg.DATASET = ds
+        runner = LocalRefineRunner(
+            cfg, mode="eval", load_from=decoder_ckpt, refiner_path=refiner_ckpt
+        )
+        result = runner.launch_val()
+        _compare(report, ("CORAL", variant, ds), result, args.tolerance)
+
+
+def _compare(report, key, result, tol):
+    published = BASELINE.get(key)
+    row = {
+        "stage": key[0],
+        "variant": key[1],
+        "dataset": key[2],
+        "ours": {k: round(float(result[k]), 4) for k in _METRIC_KEYS},
+        "published": published,
+    }
+    if published:
+        deltas = {k: round(float(result[k]) - published[k], 4) for k in _METRIC_KEYS}
+        row["delta"] = deltas
+        row["pass"] = all(abs(d) <= tol for d in deltas.values())
+    else:
+        row["pass"] = None
+    report.append(row)
+    status = {True: "PASS", False: "FAIL", None: "----"}[row["pass"]]
+    print(f"[{status}] {key[0]} {key[1]} {key[2]}: "
+          + " ".join(f"{k}={row['ours'][k]}" for k in _METRIC_KEYS)
+          + (f" delta={row.get('delta')}" if published else ""))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-dir", required=True, help="RefCOD root with <DATASET>/{im,gt}")
+    ap.add_argument("--cache-dir", required=True)
+    ap.add_argument("--work-dir", default="./work/parity")
+    ap.add_argument("--backbone-weights", default=None,
+                    help="local HF weight dir (dino-vitb8 / dinov2-base)")
+    ap.add_argument("--decoder-v2", default=None, help="UCOD_DPL_dinov2.safetensors")
+    ap.add_argument("--decoder-v1", default=None, help="UCOD_DPL_dinov1.safetensors")
+    ap.add_argument("--refiner-v2", default=None, help="CORAL_dinov2 refiner ckpt")
+    ap.add_argument("--refiner-v1", default=None)
+    ap.add_argument("--datasets", default=",".join(DEFAULT_DATASETS))
+    ap.add_argument("--tolerance", type=float, default=0.01)
+    ap.add_argument("--report", default="parity_report.json")
+    ap.add_argument("--allow-random-backbone", action="store_true",
+                    help="plumbing tests only: run without pretrained weights")
+    args = ap.parse_args()
+
+    datasets = [d for d in args.datasets.split(",") if d]
+    report = []
+    ran = False
+    for variant, dec in (("dinov2", args.decoder_v2), ("dinov1", args.decoder_v1)):
+        if dec:
+            run_stage1(variant, dec, datasets, args, report)
+            ran = True
+    for variant, dec, ref in (
+        ("dinov2", args.decoder_v2, args.refiner_v2),
+        ("dinov1", args.decoder_v1, args.refiner_v1),
+    ):
+        if dec and ref:
+            run_coral(variant, dec, ref, datasets, args, report)
+            ran = True
+    if not ran:
+        ap.error("nothing to run: pass at least --decoder-v2 or --decoder-v1")
+
+    with open(args.report, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"report written to {args.report}")
+    failed = [r for r in report if r["pass"] is False]
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -64,3 +64,51 @@ def test_predict_output_size(predictor):
     raw = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
     (mask,) = predictor.predict([raw], output_size=(64, 72))
     assert mask.shape == (64, 72)
+
+
+def test_predict_soft_masks(predictor):
+    rng = np.random.default_rng(3)
+    raw = (rng.random((64, 72, 3)) * 255).astype(np.uint8)
+    (soft,) = predictor.predict([raw], soft=True)
+    assert soft.shape == (56, 56)
+    assert soft.min() >= 0.0 and soft.max() <= 1.0
+    assert len(np.unique(soft)) > 2  # actual probabilities, not a binary mask
+    (hard,) = predictor.predict([raw])
+    np.testing.assert_array_equal(hard, (soft > 0.5).astype(np.float32))
+
+
+def test_predict_look_twice(predictor, tmp_path):
+    """look_twice refines small components via crop re-inference; paths and
+    uint8 arrays carry the original image, pre-normalised arrays refuse."""
+    rng = np.random.default_rng(4)
+    path = tmp_path / "lt.jpg"
+    Image.fromarray((rng.random((90, 110, 3)) * 255).astype(np.uint8)).save(path)
+
+    predictor.look_twice_th = 0.95  # force the zoom-in path
+    masks = predictor.predict([str(path)], look_twice=True)
+    assert masks[0].shape == (56, 56)
+    assert np.all((masks[0] >= 0.0) & (masks[0] <= 1.0))
+
+    with pytest.raises(ValueError):
+        predictor.predict([np.zeros((56, 56, 3), np.float32)], look_twice=True)
+    with pytest.raises(ValueError):
+        predictor.predict([str(path)], look_twice=True, soft=True)
+
+
+def test_strict_weight_loading(tmp_path):
+    cfg = CfgNode(
+        {
+            "type": "dinov2",
+            "backbone": "facebook/dinov2-base",
+            "backbone_weights": str(tmp_path / "nonexistent"),
+            "arch": {"hidden_size": DIM, "num_layers": 1, "num_heads": 4,
+                     "patch_size": 14, "image_size": 56},
+        }
+    )
+    with pytest.raises(FileNotFoundError):
+        FeatureExtractor(cfg, strict=True)
+    cfg.strict_weights = True  # config-driven strictness
+    with pytest.raises(FileNotFoundError):
+        FeatureExtractor(cfg)
+    cfg.strict_weights = False
+    FeatureExtractor(cfg)  # non-strict: random init with a warning

@@ -47,8 +47,13 @@ class FeatureExtractor:
         fe_cfg,
         compute_dtype: Optional[jnp.dtype] = None,
         seed: int = 0,
+        strict: Optional[bool] = None,
     ):
+        """``strict`` (or ``fe_cfg.strict_weights``): missing pretrained
+        weights raise instead of silently falling back to random init — a
+        silent fallback is a quality catastrophe in serving/eval contexts."""
         self.fe_cfg = fe_cfg
+        self.strict = fe_cfg.get("strict_weights", False) if strict is None else strict
         self.config = DinoConfig.from_type(fe_cfg.type)
         arch = fe_cfg.get("arch")  # optional architecture overrides (tests/small runs)
         if arch:
@@ -74,10 +79,17 @@ class FeatureExtractor:
             if cand.is_file():
                 self.logger.log(f"Loading DINO weights from {cand}")
                 return load_hf_checkpoint(str(cand), self.config)
-        self.logger.warning(
+        msg = (
             f"No local weights found for {self.fe_cfg.backbone} "
-            f"(searched {_candidate_weight_paths(self.fe_cfg)}); "
-            "using RANDOM initialisation — features will not match pretrained DINO."
+            f"(searched {_candidate_weight_paths(self.fe_cfg)})"
+        )
+        if self.strict:
+            raise FileNotFoundError(
+                msg + "; strict weight loading is enabled (serving/eval refuses "
+                "to run on random-init features)."
+            )
+        self.logger.warning(
+            msg + "; using RANDOM initialisation — features will not match pretrained DINO."
         )
         return init_dino(jax.random.PRNGKey(seed), self.config)
 

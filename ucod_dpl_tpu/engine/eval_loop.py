@@ -83,6 +83,75 @@ def resize_bbox(bbox, original_width, original_height, new_width, new_height) ->
     return [int(x * ws), int(y * hs), int(w * ws), int(h * hs)]
 
 
+def find_refine_bboxes(
+    binary_hw: np.ndarray,
+    img_size: Tuple[int, int],
+    look_twice_th: float,
+    expand_type: str,
+) -> Optional[List[List[int]]]:
+    """Component analysis -> bboxes to re-look at, or None
+    (loop_UCOD_DPL.py:354-384). ``binary_hw``: (H, W) {0,1}.
+
+    Areas come from one bincount sweep (the reference's per-component
+    ``(labels==i).sum()`` list comprehension is O(components x H x W) —
+    seconds per image when predictions are noisy)."""
+    h, w = img_size
+    num, labels = connected_components(binary_hw)
+    if num == 0:
+        # reference quirk kept: fixed centre box (tuned for 518px inputs)
+        return [[129, 129, 259, 259]]
+    areas = np.bincount(labels.ravel(), minlength=num + 1)[1:] / (h * w)
+    if areas.max() >= look_twice_th:
+        return None
+    bboxes = []
+    for i in np.nonzero(areas > 0.01)[0]:
+        comp = (labels == i + 1).astype(np.uint8)
+        bbox = bounding_rect(comp)
+        bboxes.append(expand_bbox(comp, bbox, h, w, expand_type=expand_type))
+    bboxes.sort(key=lambda b: -b[2] * b[3])
+    return bboxes
+
+
+def refine_with_crops(
+    img: "Image.Image",
+    bboxes: List[List[int]],
+    mask_hw: np.ndarray,
+    img_size: Tuple[int, int],
+    crop_batch_fn,
+) -> np.ndarray:
+    """Crop-zoom-reinfer each bbox and paste the refined mask
+    (loop_UCOD_DPL.py:326-352).  ``crop_batch_fn``: (N, H, W, 3) normalised
+    crops -> (N, fh, fw) binary masks; all crops of an image go through the
+    backbone in ONE device call (the reference ping-pongs host<->device per
+    bbox)."""
+    # drop degenerate boxes (the dynamic sqrt guard can emit zero-size
+    # boxes where the reference's math.sqrt would have raised)
+    bboxes = [b for b in bboxes if b[2] > 0 and b[3] > 0]
+    if not bboxes:
+        # nothing to re-look at (the reference loops over an empty list)
+        return mask_hw
+    ih, iw = img_size
+    new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
+
+    crops = []
+    for bbox in bboxes:
+        x, y, w, h = resize_bbox(bbox, iw, ih, img.size[0], img.size[1])
+        cropped = img.crop((x, y, x + max(w, 1), y + max(h, 1)))
+        crops.append(image_transform(cropped.convert("RGB"), img_size))
+
+    n = len(crops)
+    nb = _bucket(n)
+    batch = np.zeros((nb, *crops[0].shape), dtype=np.float32)
+    batch[:n] = np.stack(crops)
+    preds = np.asarray(crop_batch_fn(batch))[:n]
+
+    for bbox, pred in zip(bboxes, preds):
+        pil = Image.fromarray((pred * 255).astype(np.uint8))
+        pil = pil.resize((bbox[2], bbox[3]))  # PIL default bicubic
+        new_mask.paste(pil, (bbox[0], bbox[1]))
+    return np.asarray(new_mask, dtype=np.float32) / 255.0
+
+
 class LookTwiceEvaluator:
     def __init__(self, cfg, runner):
         self.cfg = cfg
@@ -127,64 +196,22 @@ class LookTwiceEvaluator:
 
     # ------------------------------------------------------------------
     def process_preds(self, binary_hw: np.ndarray) -> Optional[List[List[int]]]:
-        """Component analysis -> bboxes to re-look at, or None
-        (loop_UCOD_DPL.py:354-384). ``binary_hw``: (H, W) {0,1}.
-
-        Areas come from one bincount sweep (the reference's per-component
-        ``(labels==i).sum()`` list comprehension is O(components x H x W) —
-        seconds per image when predictions are noisy)."""
-        h, w = self.img_size
-        num, labels = connected_components(binary_hw)
-        if num == 0:
-            # reference quirk kept: fixed centre box (tuned for 518px inputs)
-            return [[129, 129, 259, 259]]
-        areas = np.bincount(labels.ravel(), minlength=num + 1)[1:] / (h * w)
-        if areas.max() >= self.look_twice_th:
-            return None
-        bboxes = []
-        for i in np.nonzero(areas > 0.01)[0]:
-            comp = (labels == i + 1).astype(np.uint8)
-            bbox = bounding_rect(comp)
-            bboxes.append(expand_bbox(comp, bbox, h, w, expand_type=self.expand_type))
-        bboxes.sort(key=lambda b: -b[2] * b[3])
-        return bboxes
+        return find_refine_bboxes(
+            binary_hw, self.img_size, self.look_twice_th, self.expand_type
+        )
 
     def look_twice(
         self, img_path: str, bboxes: List[List[int]], mask_hw: np.ndarray
     ) -> np.ndarray:
-        """Crop-zoom-reinfer each bbox and paste the refined mask
-        (loop_UCOD_DPL.py:326-352). Crops are batched through the backbone."""
-        # drop degenerate boxes (the dynamic sqrt guard can emit zero-size
-        # boxes where the reference's math.sqrt would have raised)
-        bboxes = [b for b in bboxes if b[2] > 0 and b[3] > 0]
-        if not bboxes:
-            # nothing to re-look at (the reference loops over an empty list)
-            return mask_hw
-        ih, iw = self.img_size
-        img = Image.open(img_path)
-        new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
-
-        crops = []
-        for bbox in bboxes:
-            x, y, w, h = resize_bbox(bbox, iw, ih, img.size[0], img.size[1])
-            cropped = img.crop((x, y, x + max(w, 1), y + max(h, 1)))
-            crops.append(image_transform(cropped.convert("RGB"), self.img_size))
-
-        n = len(crops)
-        nb = _bucket(n)
-        batch = np.zeros((nb, *crops[0].shape), dtype=np.float32)
-        batch[:n] = np.stack(crops)
-        preds = np.asarray(
-            self._crop_pass(
+        return refine_with_crops(
+            Image.open(img_path),
+            bboxes,
+            mask_hw,
+            self.img_size,
+            lambda batch: self._crop_pass(
                 self.runner.decoder_params, self.runner.feature_extractor.params, batch
-            )
-        )[:n]
-
-        for bbox, pred in zip(bboxes, preds):
-            pil = Image.fromarray((pred * 255).astype(np.uint8))
-            pil = pil.resize((bbox[2], bbox[3]))  # PIL default bicubic
-            new_mask.paste(pil, (bbox[0], bbox[1]))
-        return np.asarray(new_mask, dtype=np.float32) / 255.0
+            ),
+        )
 
     # ------------------------------------------------------------------
     def run(self) -> dict:

@@ -329,6 +329,10 @@ def dino_forward(
     def layer_fn(x, layer, is_last: bool):
         aux: Dict[str, jnp.ndarray] = {}
         h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
+        # NOTE: a fused (768 -> 2304) qkv matmul feeding the attention kernel
+        # via lane-offset BlockSpecs was measured 4x SLOWER (6.8ms vs 1.7ms,
+        # scripts/bench_attention*.py) — the strided k/v block DMA out of the
+        # wide packed array dominates; three separate projections it is.
         q = _dense(h, layer["q"], dtype)
         k = _dense(h, layer["k"], dtype)
         v = _dense(h, layer["v"], dtype)

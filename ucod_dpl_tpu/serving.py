@@ -42,17 +42,21 @@ class Predictor:
         image_size=(518, 518),
         feature_size: int = 68,
         max_batch: int = 16,
+        look_twice_th: float = 0.15,
+        expand_type: str = "dynamic",
     ):
         self.fe = feature_extractor
         self.decoder_params = decoder_params
         self.image_size = tuple(image_size)
         self.feature_size = feature_size
         self.max_batch = max_batch
+        self.look_twice_th = look_twice_th
+        self.expand_type = expand_type
 
         fs = self.feature_size
 
         @jax.jit
-        def pixels_to_mask(backbone_params, decoder_params, pixels):
+        def pixels_to_probs(backbone_params, decoder_params, pixels):
             out = dino_forward(
                 backbone_params, pixels, self.fe.config, compute_dtype=self.fe.compute_dtype
             )
@@ -62,9 +66,29 @@ class Predictor:
                 decoder_params, f.transpose(0, 2, 3, 1), with_loss=False
             )
             up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), self.image_size)
-            return (jax.nn.sigmoid(up[:, 0]) > 0.5).astype(jnp.uint8)
+            return jax.nn.sigmoid(up[:, 0])
 
+        @jax.jit
+        def pixels_to_mask(backbone_params, decoder_params, pixels):
+            return (pixels_to_probs(backbone_params, decoder_params, pixels) > 0.5).astype(
+                jnp.uint8
+            )
+
+        @jax.jit
+        def crop_pass(backbone_params, decoder_params, pixels):
+            # LookTwice second pass: masks at the crop's key-feature
+            # resolution, matching the eval loop (loop_UCOD_DPL.py:343-348)
+            out = dino_forward(
+                backbone_params, pixels, self.fe.config, compute_dtype=self.fe.compute_dtype
+            )
+            fg, _, _ = rev_decoder_forward(
+                decoder_params, out["key_features"].astype(jnp.float32), with_loss=False
+            )
+            return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)
+
+        self._pixels_to_probs = pixels_to_probs
         self._pixels_to_mask = pixels_to_mask
+        self._crop_pass = crop_pass
 
     @classmethod
     def from_config(
@@ -72,11 +96,14 @@ class Predictor:
         config_path: str,
         checkpoint: str,
         max_batch: int = 16,
+        strict: bool = True,
     ) -> "Predictor":
+        """``strict=True`` (default): missing backbone weights raise instead
+        of silently serving random-init features."""
         from ucod_dpl_tpu.config import load_config
 
         cfg = load_config(config_path)
-        fe = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg)
+        fe = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg, strict=strict)
         decoder, _ema = load_decoder_checkpoint(checkpoint)
         return cls(
             fe,
@@ -84,6 +111,8 @@ class Predictor:
             image_size=tuple(cfg.dataset_cfg.valset_cfg.get("image_size", (518, 518))),
             feature_size=cfg.model_cfg.feature_size,
             max_batch=max_batch,
+            look_twice_th=cfg.val_cfg.get("look_twice_th", 0.15),
+            expand_type=cfg.val_cfg.get("expand_type", "dynamic"),
         )
 
     def _bucket(self, n: int) -> int:
@@ -92,26 +121,47 @@ class Predictor:
             b *= 2
         return min(b, self.max_batch)
 
-    def _load(self, item) -> np.ndarray:
+    def _load(self, item):
+        """-> (normalised (H, W, 3) float array, original PIL image or None)."""
+        from PIL import Image
+
         if isinstance(item, (str,)) or hasattr(item, "__fspath__"):
             img = ImageIO.read_image(item, "RGB")
-            return image_transform(img, self.image_size)
+            return image_transform(img, self.image_size), img
         arr = np.asarray(item)
         if arr.ndim == 3 and arr.dtype == np.uint8:  # raw RGB image
-            from PIL import Image
-
-            return image_transform(Image.fromarray(arr), self.image_size)
-        return arr  # already transformed (H, W, 3) float
+            img = Image.fromarray(arr)
+            return image_transform(img, self.image_size), img
+        return arr, None  # already transformed (H, W, 3) float
 
     def predict(
         self,
         inputs: Sequence[Union[str, np.ndarray]],
         output_size: Optional[tuple] = None,
+        look_twice: bool = False,
+        soft: bool = False,
     ) -> List[np.ndarray]:
         """Images (paths, uint8 RGB arrays, or pre-normalised arrays) ->
-        binary (H, W) float32 masks at ``output_size`` (default: the model's
-        image_size)."""
-        arrays = [self._load(x) for x in inputs]
+        (H, W) float32 masks at ``output_size`` (default: the model's
+        image_size).
+
+        ``look_twice=True``: small predicted objects trigger the zoom-in
+        second pass (connected components -> bbox expansion -> batched crop
+        re-inference, same machinery as the eval loop).  Requires inputs
+        with an original image (paths or uint8 arrays).
+        ``soft=True``: return sigmoid probabilities instead of {0,1} masks
+        (mutually exclusive with look_twice, which is defined on binaries).
+        """
+        if look_twice and soft:
+            raise ValueError("look_twice refines binary masks; soft=True is incompatible")
+        loaded = [self._load(x) for x in inputs]
+        arrays = [a for a, _ in loaded]
+        originals = [im for _, im in loaded]
+        if look_twice and any(im is None for im in originals):
+            raise ValueError(
+                "look_twice needs the original image: pass paths or uint8 RGB arrays"
+            )
+        program = self._pixels_to_probs if soft else self._pixels_to_mask
         masks: List[np.ndarray] = []
         i = 0
         while i < len(arrays):
@@ -120,14 +170,31 @@ class Predictor:
             batch = np.zeros((nb, *self.image_size, 3), np.float32)
             for j in range(take):
                 batch[j] = arrays[i + j]
-            out = np.asarray(
-                self._pixels_to_mask(self.fe.params, self.decoder_params, batch)
-            )[:take]
+            out = np.asarray(program(self.fe.params, self.decoder_params, batch))[:take]
             masks.extend(out.astype(np.float32))
             i += take
+
+        if look_twice:
+            from ucod_dpl_tpu.engine.eval_loop import find_refine_bboxes, refine_with_crops
+
+            def crop_fn(batch):
+                return self._crop_pass(self.fe.params, self.decoder_params, batch)
+
+            for idx, (mask, img) in enumerate(zip(masks, originals)):
+                bboxes = find_refine_bboxes(
+                    mask, self.image_size, self.look_twice_th, self.expand_type
+                )
+                if bboxes is not None:
+                    masks[idx] = refine_with_crops(
+                        img, bboxes, mask, self.image_size, crop_fn
+                    )
+
         if output_size is not None:
-            masks = [
-                (interpolate_bilinear_np(m, output_size) > 0.5).astype(np.float32)
-                for m in masks
-            ]
+            if soft:
+                masks = [interpolate_bilinear_np(m, output_size) for m in masks]
+            else:
+                masks = [
+                    (interpolate_bilinear_np(m, output_size) > 0.5).astype(np.float32)
+                    for m in masks
+                ]
         return masks
