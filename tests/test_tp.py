@@ -57,3 +57,16 @@ def test_tp_attention_matches_dense():
         )
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_build_mesh_refuses_partial_coverage():
+    """A mesh that would silently strand devices must raise (e.g. asking for
+    model=3 on 8 devices used to quietly build a 6-device mesh)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="device"):
+        build_mesh({"data": -1, "model": 3})  # 3 does not divide 8
+    with pytest.raises(ValueError, match="device"):
+        build_mesh({"data": 2, "model": 2})  # covers 4 of 8
+    m = build_mesh({"data": -1, "model": 2})
+    assert m.shape["data"] * m.shape["model"] == 8

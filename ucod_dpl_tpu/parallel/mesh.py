@@ -22,13 +22,20 @@ def build_mesh(mesh_cfg: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     n = len(devices)
     cfg = dict(mesh_cfg or {"data": -1, "model": 1})
     fixed = int(np.prod([v for v in cfg.values() if v != -1])) or 1
+    if n % fixed:
+        raise ValueError(
+            f"mesh axes {cfg} do not divide the device count {n}; a silent "
+            f"partial mesh would strand {n - (n // fixed) * fixed} device(s) — "
+            "fix the axis sizes (use -1 for 'all remaining')."
+        )
     sizes = {k: (n // fixed if v == -1 else v) for k, v in cfg.items()}
     total = int(np.prod(list(sizes.values())))
     if total != n:
-        # shrink the data axis to what divides the device count
-        if "data" in sizes:
-            sizes["data"] = max(1, n // max(1, total // sizes.get("data", 1)))
-        total = int(np.prod(list(sizes.values())))
+        raise ValueError(
+            f"mesh {sizes} covers {total} of {n} devices; refusing to "
+            "silently drop devices — fix the axis sizes (use -1 for 'all "
+            "remaining')."
+        )
     dev_array = np.asarray(devices[:total]).reshape(tuple(sizes.values()))
     return Mesh(dev_array, tuple(sizes.keys()))
 
