@@ -114,3 +114,16 @@ def test_coral_train_e2e(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded["csf"]["mask_dec"]["w"]), after, rtol=1e-6
     )
+
+
+def test_coral_eval_batched_matches_bs1(tmp_path):
+    """Stage-2 eval must accept val batch_size > 1 with identical metrics
+    (the reference is hard-wired to bs=1, loop_CORAL.py:139)."""
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=3)
+    cfg = _coral_cfg(tmp_path)
+    cfg.dataset_cfg.valset_cfg.require_m_patches = True
+    r1 = LocalRefineRunner(cfg, mode="eval").launch_val()
+    cfg.dataset_cfg.val_loader_cfg.batch_size = 2  # 2 + padded tail of 1
+    r2 = LocalRefineRunner(cfg, mode="eval").launch_val()
+    for k in ("MAE", "SMeasure", "E_MEAN", "F_MEAN", "WFM"):
+        assert np.isclose(r1[k], r2[k]), (k, r1[k], r2[k])

@@ -216,9 +216,8 @@ class LRDataset(CODDataset):
         reference's feature_extractor_transform (base_dataset.py:107-110)."""
         return (756, 756) if self.feature_extractor_cfg.type == "dinov2" else (432, 432)
 
-    def _grid_patches(self, img) -> np.ndarray:
-        """Resize to window_size x image_size and cut the patch grid.
-        Returns (ws*ws, h, w, C) key features (batched single DINO call)."""
+    def _grid_patch_arrays(self, img) -> np.ndarray:
+        """(ws*ws, h, w, 3) normalised grid-patch pixel arrays (host side)."""
         from PIL import Image
 
         gh, gw = self.image_size
@@ -228,36 +227,91 @@ class LRDataset(CODDataset):
             for j in range(self.window_size):
                 box = (j * gw, i * gh, (j + 1) * gw, (i + 1) * gh)
                 patches.append(patch_transform(big.crop(box)))
-        feats = self.feature_extractor.extract(np.stack(patches))
+        return np.stack(patches)
+
+    def _grid_patches(self, img) -> np.ndarray:
+        """Resize to window_size x image_size and cut the patch grid.
+        Returns (ws*ws, h, w, C) key features (batched single DINO call)."""
+        feats = self.feature_extractor.extract(self._grid_patch_arrays(img))
         return np.asarray(feats, dtype=np.float32)
 
-    def _m_patches(self, img) -> np.ndarray:
-        """(4, 36, 36, C) overlapping m-patch key slices of the high-res map
-        (lr_dataset.py:154-168)."""
-        arr = image_transform(img, self._fe_image_size())
-        key = np.asarray(self.feature_extractor.extract(arr[None]))[0]  # (54, 54, C)
-        s, st = self.M_PATCH_SLICE, self.M_PATCH_STRIDE
+    @staticmethod
+    def _slice_m_windows(key: np.ndarray) -> np.ndarray:
+        """(54, 54, C) high-res key map -> (4, 36, 36, C) overlapping m-patch
+        slices (lr_dataset.py:154-168)."""
+        s, st = LRDataset.M_PATCH_SLICE, LRDataset.M_PATCH_STRIDE
         out = []
         for i in range(2):
             for j in range(2):
                 out.append(key[i * st : i * st + s, j * st : j * st + s, :])
         return np.stack(out).astype(np.float32)
 
+    def _m_patches(self, img) -> np.ndarray:
+        arr = image_transform(img, self._fe_image_size())
+        key = np.asarray(self.feature_extractor.extract(arr[None]))[0]  # (54, 54, C)
+        return self._slice_m_windows(key)
+
     def _build_patch_cache(self) -> None:
+        """Batched + overlapped build: grid patches of a whole image CHUNK go
+        through DINO in one call (ws*ws*chunk crops) and the high-res m-pass
+        batches the chunk's images; the next chunk's decode/resize overlaps
+        the device pass (same pattern as ``_build_feature_cache`` — the
+        reference runs 10 separate forwards per image, lr_dataset.py:170-193)."""
+        import concurrent.futures
+
         patch_cache = self.caches.get("patch")
         m_cache = self.caches.get("m_patch") if self.require_m_patches else None
+        build_patch = patch_cache.mode == "w"
+        build_m = m_cache is not None and m_cache.mode == "w"
+        n = len(self.image_paths)
         self.logger.log(
-            f"Building patch caches for {self.set_cfg.DATASET} ({len(self.image_paths)} images)"
+            f"Building patch caches for {self.set_cfg.DATASET} ({n} images)"
         )
-        for idx, path in enumerate(self.image_paths):
-            img = ImageIO.read_image(path, "RGB")
-            if patch_cache.mode == "w":
-                patch_cache.write(idx, self._grid_patches(img))
-            if m_cache is not None and m_cache.mode == "w":
-                m_cache.write(idx, self._m_patches(img))
-        if patch_cache.mode == "w":
+        # grid patches are ws^2 per image and m-images are high-res: keep the
+        # device batch comparable to the feature-cache build
+        chunk = max(1, self.cache_build_batch // 2)
+        chunks = [self.image_paths[s : s + chunk] for s in range(0, n, chunk)]
+
+        def load_chunk(paths):
+            grids, ms = [], []
+            for path in paths:
+                img = ImageIO.read_image(path, "RGB")
+                if build_patch:
+                    grids.append(self._grid_patch_arrays(img))
+                if build_m:
+                    ms.append(image_transform(img, self._fe_image_size()))
+            return grids, ms
+
+        idx = 0
+        done = 0
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            pending = pool.submit(load_chunk, chunks[0]) if chunks else None
+            for ci, paths in enumerate(chunks):
+                grids, ms = pending.result()
+                pending = (
+                    pool.submit(load_chunk, chunks[ci + 1]) if ci + 1 < len(chunks) else None
+                )
+                c = len(paths)
+                if build_patch:
+                    flat = np.concatenate(grids)  # (c*ws*ws, h, w, 3)
+                    feats = np.asarray(self.feature_extractor.extract(flat), np.float32)
+                    per = self.window_size * self.window_size
+                    for i in range(c):
+                        patch_cache.write(idx + i, feats[i * per : (i + 1) * per])
+                if build_m:
+                    keys = np.asarray(
+                        self.feature_extractor.extract(np.stack(ms)), np.float32
+                    )
+                    for i in range(c):
+                        m_cache.write(idx + i, self._slice_m_windows(keys[i]))
+                idx += c
+                done += c
+                self.logger.log(
+                    f"patch cache {self.set_cfg.DATASET}: {done}/{n} images"
+                )
+        if build_patch:
             patch_cache.flush()
-        if m_cache is not None and m_cache.mode == "w":
+        if build_m:
             m_cache.flush()
 
     def get_features(self, img_path: str, crop_center: bool = False):

@@ -122,15 +122,34 @@ class LocalRefineEvaluator:
         out[:, h // 2 : h // 2 + h, w // 2 : w // 2 + w] = x
         return out
 
+    def _refine_one_cropped(self, img_path: str) -> np.ndarray:
+        """Centre-crop fallback for one image: live re-extraction, single
+        refiner pass, centre-pad (loop_CORAL.py:148-151, 276-311)."""
+        got = self.runner.val_dataset.get_features(img_path, crop_center=True)
+        l_c, h_c, m_c = got
+        l_feat, h_feat, preds = self._prepare(
+            np.asarray(l_c, np.float32),
+            np.asarray(h_c, np.float32),
+            np.asarray(m_c, np.float32) if m_c is not None else None,
+        )
+        out = np.asarray(self._refine(self.runner.refiner_params, l_feat, h_feat, preds))
+        return self._center_pad(out)[0]
+
     def run(self) -> Dict[str, float]:
+        """Batched refiner evaluation (the reference is strictly bs=1,
+        loop_CORAL.py:139; the device pass here handles any val batch size —
+        only the data-dependent centre-crop fallback re-runs per image)."""
         stats = CODStatistics(workers=self.cfg.val_cfg.get("metric_workers", 0))
         runner = self.runner
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         runner.logger.log(f"start validate on {dataset_name} (UDLR)")
 
+        from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+
+        loader_bs = runner.val_dataloader.batch_size
         for batch in runner.val_dataloader:
-            label = batch["label"][0]
-            img_path = batch["img_path"][0]
+            labels = batch["label"]
+            paths = batch["img_path"]
             l_input = np.asarray(batch["features"], np.float32)
             h_input = np.asarray(batch["h_inputs"], np.float32)
             m_input = (
@@ -139,48 +158,50 @@ class LocalRefineEvaluator:
                 and not isinstance(batch["m_inputs"], list)
                 else None
             )
+            n = l_input.shape[0]
+            if n < loader_bs:  # pad the tail batch: avoids a fresh XLA compile
+                rep = loader_bs - n
+                l_input = np.concatenate([l_input, np.repeat(l_input[-1:], rep, 0)])
+                h_input = np.concatenate([h_input, np.repeat(h_input[-1:], rep, 0)])
+                if m_input is not None:
+                    m_input = np.concatenate(
+                        [m_input, np.repeat(m_input[-1:], rep, 0)]
+                    )
 
             l_feat, h_feat, preds = self._prepare(l_input, h_input, m_input)
-
-            # centre-crop fallback for near-empty predictions
-            ratio = float(
-                (np.asarray(preds) > 0).sum() / (preds.shape[1] * preds.shape[2])
-            )
-            cropped = ratio < 0.001
-            if cropped:
-                got = runner.val_dataset.get_features(img_path, crop_center=True)
-                l_c, h_c, m_c = got
-                l_feat, h_feat, preds = self._prepare(
-                    np.asarray(l_c, np.float32),
-                    np.asarray(h_c, np.float32),
-                    np.asarray(m_c, np.float32) if m_c is not None else None,
-                )
-
             outputs = np.asarray(
                 self._refine(runner.refiner_params, l_feat, h_feat, preds)
+            )[:n]
+
+            # per-image centre-crop fallback for near-empty predictions
+            preds_np = np.asarray(preds)[:n]
+            ratios = (preds_np > 0).sum(axis=(1, 2, 3)) / (
+                preds_np.shape[1] * preds_np.shape[2]
             )
-            if cropped:
-                outputs = self._center_pad(outputs)
+            outs = list(outputs)
+            for i in np.nonzero(ratios < 0.001)[0]:
+                outs[i] = self._refine_one_cropped(paths[i])
 
-            # process_preds (loop_CORAL.py:313-341); resize on host to avoid
-            # a per-image device round-trip
-            from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
-
-            in_01 = bool(np.all((outputs >= 0) & (outputs <= 1)))
-            probs = outputs if in_01 else 1.0 / (1.0 + np.exp(-outputs))
-            lh, lw = label.shape[:2]
-            up = interpolate_bilinear_np(np.transpose(probs, (0, 3, 1, 2)), (lh, lw))
-            pred = (up[0, 0] > 0.5).astype(np.float64)
-
-            stats.step(label[None, :, :, 0], pred[None])
-            if self.save_preds:
-                save_binary_mask(
-                    pred,
-                    os.path.join(
-                        self.cfg.log_cfg.log_path, "preds", dataset_name,
-                        os.path.basename(img_path),
-                    ),
+            for i in range(n):
+                label = labels[i]
+                out = outs[i][None]  # (1, H, W, 1)
+                in_01 = bool(np.all((out >= 0) & (out <= 1)))
+                probs = out if in_01 else 1.0 / (1.0 + np.exp(-out))
+                lh, lw = label.shape[:2]
+                up = interpolate_bilinear_np(
+                    np.transpose(probs, (0, 3, 1, 2)), (lh, lw)
                 )
+                pred = (up[0, 0] > 0.5).astype(np.float64)
+
+                stats.step(label[None, :, :, 0], pred[None])
+                if self.save_preds:
+                    save_binary_mask(
+                        pred,
+                        os.path.join(
+                            self.cfg.log_cfg.log_path, "preds", dataset_name,
+                            os.path.basename(paths[i]),
+                        ),
+                    )
 
         stats.sync_across_processes()
         result = stats.get_result()
