@@ -35,7 +35,7 @@ cfg = dict(
         enable_val=True,
         val_interval=5,
         start_val=-50,
-        metric_workers=0,  # >0: process-pool metric scoring
+        metric_workers=-1,  # -1: auto (cpu_count//2 on large sets); 0: sync; >0: pool size
     ),
     log_cfg=dict(
         name="ucod-dpl-tpu",

@@ -32,20 +32,23 @@ def test_bilateral_grid_filter_preserves_constants():
 
 
 def test_bilateral_solver_snaps_mask_to_edge():
-    img = _edge_image()
-    h, w = img.shape[:2]
-    # noisy mask roughly covering the left half, with a ragged boundary
+    """A ragged blob mask should snap to the blob's color edge.  (A blob, not
+    a half-plane: the reference's connected-component selection keeps the
+    second-largest region — i.e. the foreground object under a larger
+    background — which is degenerate when fg and bg have equal area.)"""
+    h, w = 48, 64
+    img = np.full((h, w, 3), 40, np.uint8)
+    img[12:36, 20:44] = 200  # bright rectangle on dark background
     rng = np.random.default_rng(0)
     mask = np.zeros((h, w), np.float32)
-    mask[:, : w // 2] = 1.0
-    jitter = rng.integers(-4, 5, size=h)
-    for i in range(h):
-        mask[i, w // 2 - 4 : w // 2 + jitter[i]] = jitter[i] > 0
+    mask[12:36, 20:44] = 1.0
+    jitter = rng.integers(-3, 4, size=24)
+    for k, i in enumerate(range(12, 36)):  # ragged right boundary
+        mask[i, 44 - 3 : 44 + jitter[k]] = jitter[k] > 0
     refined, accepted = apply_bilateral_solver(mask, img)
     assert accepted
-    # refined boundary should hug the color edge more tightly than the input
     target = np.zeros_like(mask)
-    target[:, : w // 2] = 1.0
+    target[12:36, 20:44] = 1.0
     err_in = np.abs(mask - target).sum()
     err_out = np.abs(refined - target).sum()
     assert err_out <= err_in
@@ -146,3 +149,64 @@ def test_profiling_hooks(tmp_path):
         pass  # disabled path is a no-op
     with annotate("test-region"):
         _ = jnp.ones(4).sum()
+
+
+def test_bilateral_solver_numeric_parity_vs_reference():
+    """Our solver must reproduce the reference's bilateral_solver_output
+    (soft solution AND CC-selected binary) on a structured image — including
+    the post-loop m = n*blur(n) bistochastization correction
+    (reference bilateral_solver.py:114-117)."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    from conftest import REFERENCE_ROOT, reference_available
+    from ucod_dpl_tpu.utils.bilateral_solver import bilateral_solver_output
+
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location(
+        "ref_bilateral", os.path.join(REFERENCE_ROOT, "engine/utils/bilateral_solver.py")
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    # environment shim: this image's scipy renamed cg(tol=) to cg(rtol=)
+    import scipy.sparse.linalg as sla
+
+    ref.cg = lambda A, b, x0=None, M=None, maxiter=None, tol=None: sla.cg(
+        A, b, x0=x0, M=M, maxiter=maxiter, rtol=tol
+    )
+
+    rng = np.random.default_rng(0)
+    h, w = 48, 56
+    yy, xx = np.mgrid[:h, :w]
+    blob = ((yy - 22) ** 2 + (xx - 30) ** 2) < 144
+    img = (
+        np.stack([xx / w, yy / h, np.zeros_like(xx)], axis=-1) * 120
+        + blob[..., None] * 100
+        + rng.random((h, w, 3)) * 10
+    ).astype(np.uint8)
+    # noisy target: blob plus a spurious blotch the CC selection should drop
+    target = blob.astype(np.float64).copy()
+    target[5:9, 5:9] = 1.0
+
+    ref_soft, ref_binary = ref.bilateral_solver_output(
+        None, target, img=img, sigma_spatial=8, sigma_luma=4, sigma_chroma=4
+    )
+    our_soft, our_binary = bilateral_solver_output(
+        img, target, sigma_spatial=8, sigma_luma=4, sigma_chroma=4
+    )
+    np.testing.assert_allclose(our_soft, ref_soft, atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(our_binary, ref_binary)
+
+    # get_all_cc variant too
+    _, ref_all = ref.bilateral_solver_output(
+        None, target, img=img, sigma_spatial=8, sigma_luma=4, sigma_chroma=4,
+        get_all_cc=True,
+    )
+    _, our_all = bilateral_solver_output(
+        img, target, sigma_spatial=8, sigma_luma=4, sigma_chroma=4, get_all_cc=True
+    )
+    np.testing.assert_array_equal(our_all, ref_all)

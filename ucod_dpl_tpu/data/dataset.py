@@ -150,6 +150,11 @@ class CODDataset:
             self.image_paths[s : s + bs] for s in range(0, len(self.image_paths), bs)
         ]
 
+        from ucod_dpl_tpu.utils.progress import ProgressReporter
+
+        progress = ProgressReporter(
+            self.logger, len(self.image_paths), f"feature cache {self.set_cfg.DATASET}"
+        )
         idx = 0
         with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
             def load_chunk(paths):
@@ -165,7 +170,9 @@ class CODDataset:
                 for f in feats:
                     cache.write(idx, f.astype(np.float32))
                     idx += 1
+                progress.update(len(chunk))
         cache.flush()
+        progress.finish()
         self.logger.log(f"Feature cache complete: {idx} samples")
 
     # -- item access ---------------------------------------------------------
@@ -282,8 +289,12 @@ class LRDataset(CODDataset):
                     ms.append(image_transform(img, self._fe_image_size()))
             return grids, ms
 
+        from ucod_dpl_tpu.utils.progress import ProgressReporter
+
+        progress = ProgressReporter(
+            self.logger, n, f"patch cache {self.set_cfg.DATASET}"
+        )
         idx = 0
-        done = 0
         with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
             pending = pool.submit(load_chunk, chunks[0]) if chunks else None
             for ci, paths in enumerate(chunks):
@@ -305,10 +316,8 @@ class LRDataset(CODDataset):
                     for i in range(c):
                         m_cache.write(idx + i, self._slice_m_windows(keys[i]))
                 idx += c
-                done += c
-                self.logger.log(
-                    f"patch cache {self.set_cfg.DATASET}: {done}/{n} images"
-                )
+                progress.update(c)
+        progress.finish()
         if build_patch:
             patch_cache.flush()
         if build_m:

@@ -139,12 +139,19 @@ class LocalRefineEvaluator:
         """Batched refiner evaluation (the reference is strictly bs=1,
         loop_CORAL.py:139; the device pass here handles any val batch size —
         only the data-dependent centre-crop fallback re-runs per image)."""
-        stats = CODStatistics(workers=self.cfg.val_cfg.get("metric_workers", 0))
         runner = self.runner
+        n_total = len(runner.val_dataloader.dataset)
+        workers = self.cfg.val_cfg.get("metric_workers", -1)
+        if workers < 0:  # auto: pool pays off only on multi-minute sweeps
+            workers = (os.cpu_count() or 2) // 2 if n_total >= 64 else 0
+        stats = CODStatistics(workers=workers)
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         runner.logger.log(f"start validate on {dataset_name} (UDLR)")
 
         from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+        from ucod_dpl_tpu.utils.progress import ProgressReporter
+
+        progress = ProgressReporter(runner.logger, n_total, f"eval {dataset_name}")
 
         loader_bs = runner.val_dataloader.batch_size
         for batch in runner.val_dataloader:
@@ -202,7 +209,9 @@ class LocalRefineEvaluator:
                             os.path.basename(paths[i]),
                         ),
                     )
+            progress.update(n)
 
+        progress.finish()
         stats.sync_across_processes()
         result = stats.get_result()
         runner.logger.log_table({k: [round(v, 4)] for k, v in result.items()})

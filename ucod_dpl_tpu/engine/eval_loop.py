@@ -218,29 +218,49 @@ class LookTwiceEvaluator:
         """Batched first pass (any val batch size), per-image LookTwice.
 
         The reference evaluates strictly image-by-image (val batch_size=1,
-        loop_UCOD_DPL.py:301); here the decoder/upsample first pass runs over
-        the whole batch in one device call and only the data-dependent
-        LookTwice post-processing is per-image."""
-        stats = CODStatistics(workers=self.cfg.val_cfg.get("metric_workers", 0))
+        loop_UCOD_DPL.py:301).  TPU-first pipeline here:
+          * the decoder/upsample first pass runs the whole batch in one
+            device call;
+          * the NEXT batch's first pass is dispatched before the current
+            batch's host post-processing (JAX dispatch is async), so the
+            device computes while the host does CC analysis / metrics;
+          * PNG mask writes go through a small thread pool;
+          * per-image metric scoring fans out to a process pool on large
+            datasets (metric_workers: -1/auto).
+        """
+        from ucod_dpl_tpu.utils.progress import ProgressReporter
+
+        n_total = len(self.runner.val_dataloader.dataset)
+        workers = self.cfg.val_cfg.get("metric_workers", -1)
+        if workers < 0:  # auto: pool pays off only on multi-minute sweeps
+            workers = (os.cpu_count() or 2) // 2 if n_total >= 64 else 0
+        stats = CODStatistics(workers=workers)
         logger = self.runner.logger
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
-        logger.log(f"start validate on {dataset_name}")
+        logger.log(f"start validate on {dataset_name} (metric_workers={workers})")
+        progress = ProgressReporter(logger, n_total, f"eval {dataset_name}")
+
+        import concurrent.futures
+
+        io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        io_futures = []
 
         loader_bs = self.runner.val_dataloader.batch_size
-        for batch in self.runner.val_dataloader:
+
+        def dispatch(batch):
             features = np.asarray(batch["features"])  # (B, fh, fw, C)
             n = features.shape[0]
             if n < loader_bs:  # pad the tail batch: avoids a fresh XLA compile
                 features = np.concatenate(
                     [features, np.repeat(features[-1:], loader_bs - n, axis=0)]
                 )
-            binaries = np.asarray(
-                self._first_pass(self.runner.decoder_params, features)
-            )[:n]
-            labels = batch["label"]
-            paths = batch["img_path"]
+            # async: returns a device array future-like; np.asarray later blocks
+            return self._first_pass(self.runner.decoder_params, features), n
 
-            for binary, label, img_path in zip(binaries, labels, paths):
+        def process(pending):
+            (dev_binaries, n), batch = pending
+            binaries = np.asarray(dev_binaries)[:n]
+            for binary, label, img_path in zip(binaries, batch["label"], batch["img_path"]):
                 binary = binary.astype(np.float32)
                 if self.look_twice_enabled:
                     bboxes = self.process_preds(binary)
@@ -259,7 +279,22 @@ class LookTwiceEvaluator:
                         self.cfg.log_cfg.log_path, "preds", dataset_name,
                         os.path.basename(img_path),
                     )
-                    save_binary_mask(pred, out_path)
+                    io_futures.append(io_pool.submit(save_binary_mask, pred, out_path))
+            progress.update(n)
+
+        pending = None
+        for batch in self.runner.val_dataloader:
+            dev = dispatch(batch)
+            if pending is not None:
+                process(pending)
+            pending = (dev, batch)
+        if pending is not None:
+            process(pending)
+        progress.finish()
+
+        for fut in io_futures:
+            fut.result()  # surface IO errors
+        io_pool.shutdown()
 
         stats.sync_across_processes()
         result = stats.get_result()

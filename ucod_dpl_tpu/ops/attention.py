@@ -127,6 +127,7 @@ def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
             bytes_accessed=3 * bh * lp * d * q_h.dtype.itemsize + bh * lp * d * q_h.dtype.itemsize,
             transcendentals=bh * lp * lp,
         ),
+        interpret=_interpret(),
     )(qp, kp, vp)
     return out[:, :seq_len, :]
 
@@ -185,6 +186,7 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
             bytes_accessed=4 * b * lp * d_model * q.dtype.itemsize,
             transcendentals=b * num_heads * lp * lp,
         ),
+        interpret=_interpret(),
     )(qp, kp, vp)
     return out[:, :seq_len, :]
 
@@ -200,9 +202,18 @@ def _xla_attention(q_h, k_h, v_h, scale: float):
     )
 
 
+def _interpret() -> bool:
+    """UCOD_PALLAS_INTERPRET=1 runs the kernels through the Pallas
+    interpreter on any backend — used by the multi-chip dryrun to exercise
+    the exact kernel path per shard_map shard without TPU hardware."""
+    return bool(os.environ.get("UCOD_PALLAS_INTERPRET"))
+
+
 def use_pallas() -> bool:
     if os.environ.get("UCOD_DISABLE_PALLAS"):
         return False
+    if _interpret():
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -236,7 +247,10 @@ def tp_multi_head_attention(
         return multi_head_attention(ql, kl, vl, num_heads // tp, scale=scale)
 
     return jax.shard_map(
-        local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        # pallas_call out_shapes don't carry vma annotations; the kernel is
+        # head-local so there is nothing varying to check
+        check_vma=False,
     )(q, k, v)
 
 

@@ -105,6 +105,10 @@ def _bistochastize(grid: BilateralGrid, maxiter: int = 10):
     n = np.ones(grid.nvertices)
     for _ in range(maxiter):
         n = np.sqrt(n * m / np.maximum(grid.blur(n), 1e-20))
+    # correct m so Dm is consistent with the (finitely) iterated n regardless
+    # of convergence — the reference does this too (bilateral_solver.py:114-117)
+    # and A_smooth = Dm - Dn B Dn differs measurably without it
+    m = n * grid.blur(n)
     Dm = diags(m)
     Dn = diags(n)
     return Dn, Dm
@@ -147,38 +151,82 @@ def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / union) if union else 0.0
 
 
+def bilateral_solver_output(
+    image: np.ndarray,
+    target: np.ndarray,
+    sigma_spatial: int = 24,
+    sigma_luma: int = 4,
+    sigma_chroma: int = 4,
+    get_all_cc: bool = False,
+    bs_params: Dict = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(soft_solution, binary_mask) — the reference's ``bilateral_solver_output``
+    (``engine/utils/bilateral_solver.py:159-214``): solve, fill holes of the
+    >0.5 binarisation, then keep the second-largest connected component (the
+    largest is background) — or, with ``get_all_cc``, all components except
+    the largest."""
+    from scipy import ndimage
+
+    image = np.asarray(image)
+    if image.dtype != np.uint8:
+        image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    target = np.asarray(target, dtype=np.float64)
+    h, w = target.shape
+
+    grid = BilateralGrid(
+        image,
+        sigma_spatial=sigma_spatial,
+        sigma_luma=sigma_luma,
+        sigma_chroma=sigma_chroma,
+    )
+    solver = BilateralSolver(grid, bs_params)
+    soft = solver.solve(target, np.full_like(target, 0.999))
+
+    filled = ndimage.binary_fill_holes(soft > 0.5)
+    labeled, nr_objects = ndimage.label(filled)
+    nb_pixel = [np.sum(labeled == i) for i in range(nr_objects + 1)]
+    pixel_order = np.argsort(nb_pixel)
+    if get_all_cc:
+        descending = pixel_order[::-1]
+        binary = (
+            (labeled[None, :, :] == descending[1:, None, None]).astype(int).sum(0)
+        )
+    else:
+        if len(pixel_order) >= 2:
+            binary = labeled == pixel_order[-2]
+        else:
+            binary = np.ones((h, w), dtype=bool)
+    return soft, binary
+
+
 def apply_bilateral_solver(
     mask: np.ndarray,
     image: np.ndarray,
     threshold: float = 0.5,
     grid_params: Dict = None,
     bs_params: Dict = None,
+    get_all_cc: bool = False,
 ) -> Tuple[np.ndarray, bool]:
     """Refine a soft/binary mask against image edges.
 
     Returns (refined_binary_mask, accepted): the refinement is *accepted*
-    only when IoU with the input binarisation exceeds 0.5, matching the
-    reference's acceptance gate (misc.py:110-156); callers keep the original
-    mask otherwise.
+    only when the IoU between the connected-component-selected solver output
+    and the input binarisation exceeds 0.5, matching the reference's gate
+    (misc.py:110-156); callers keep the original mask otherwise.
     """
     gp = {**DEFAULT_GRID_PARAMS, **(grid_params or {})}
-    image = np.asarray(image)
-    if image.dtype != np.uint8:
-        image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
     mask = np.asarray(mask, dtype=np.float64)
-
-    grid = BilateralGrid(
+    _, binary = bilateral_solver_output(
         image,
+        mask,
         sigma_spatial=gp["sigma_spatial"],
         sigma_luma=gp["sigma_luma"],
         sigma_chroma=gp["sigma_chroma"],
+        get_all_cc=get_all_cc,
+        bs_params=bs_params,
     )
-    solver = BilateralSolver(grid, bs_params)
-    confidence = np.full_like(mask, 0.999)
-    refined = solver.solve(mask, confidence)
-    refined_bin = refined > threshold
-    accepted = _mask_iou(refined_bin, mask > threshold) > 0.5
-    return refined_bin.astype(np.float32), accepted
+    accepted = _mask_iou(binary > 0.5, mask > threshold) > 0.5
+    return (binary > 0.5).astype(np.float32), accepted
 
 
 def bbox_iou(box_a, box_b) -> float:
