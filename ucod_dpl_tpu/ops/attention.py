@@ -101,13 +101,16 @@ def _pick_q_block(lp: int, score_budget_bytes: int = 8 * 1024 * 1024) -> int:
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q"))
 def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
-    """q_h/k_h/v_h: (BH, L, d) per-head layout."""
+    """q_h/k_h/v_h: (BH, L, d) per-head layout.  No explicit padding — see
+    :func:`_pallas_attention_packed`."""
     bh, seq_len, d = q_h.shape
     lp = _ceil_to(seq_len, block_q)
-    pad = [(0, 0), (0, lp - seq_len), (0, 0)]
-    qp = jnp.pad(q_h, pad)
-    kp = jnp.pad(k_h, pad)
-    vp = jnp.pad(v_h, pad)
+    padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
+    if padded:  # the (CPU-hosted) interpreter lacks Mosaic's boundary masking
+        q_h, k_h, v_h = (
+            jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q_h, k_h, v_h)
+        )
+    out_len = lp if padded else seq_len
 
     grid = (bh, lp // block_q)
     out = pl.pallas_call(
@@ -121,15 +124,15 @@ def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, lp, d), q_h.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, out_len, d), q_h.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * lp * lp * d,
             bytes_accessed=3 * bh * lp * d * q_h.dtype.itemsize + bh * lp * d * q_h.dtype.itemsize,
             transcendentals=bh * lp * lp,
         ),
         interpret=_interpret(),
-    )(qp, kp, vp)
-    return out[:, :seq_len, :]
+    )(q_h, k_h, v_h)
+    return out[:, :seq_len, :] if padded else out
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
@@ -143,19 +146,26 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
     head_dim*2 multiple of 128 (ViT-B: 12 heads x 64); callers fall back to
     the per-head layout otherwise.
 
-    The sequence is padded to a multiple of 128 only (1370 -> 1408, not
-    1408 -> 1536 as a fixed 256 block would force: padded key columns are
-    computed-and-masked, so 9% less padding is 9% less matmul) and the q
-    block is the largest that keeps the f32 score tile within VMEM."""
+    No host/HBM padding: block shapes need not divide the sequence — Mosaic
+    masks the boundary block itself, the iota mask kills out-of-range key
+    columns, and out-of-range query rows never reach the output.  The three
+    explicit jnp.pads this replaces were ~200MB of pure HBM copy per layer
+    at bs16@518px (0.24ms measured, bit-identical output).  The virtual
+    length is padded to a multiple of 128 only (1370 -> 1408, not a fixed
+    256 block's 1536: masked key columns still cost matmul) and the q block
+    is the largest that keeps the f32 score tile within VMEM."""
     b, seq_len, d_model = q.shape
     hd = d_model // num_heads
     assert num_heads % 2 == 0 and (2 * hd) % 128 == 0
     lp = _ceil_to(seq_len, 128)
     block_q = _pick_q_block(lp)
-    pad = [(0, 0), (0, lp - seq_len), (0, 0)]
-    qp = jnp.pad(q, pad)
-    kp = jnp.pad(k, pad)
-    vp = jnp.pad(v, pad)
+    padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
+    if padded:
+        # the Pallas interpreter (env flag or force_tpu_interpret_mode, both
+        # CPU-hosted) does not mask boundary blocks like Mosaic does; pad
+        # explicitly there (correctness-only path, speed irrelevant)
+        q, k, v = (jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q, k, v))
+    out_len = lp if padded else seq_len
 
     grid = (b, num_heads // 2, lp // block_q)
     out = pl.pallas_call(
@@ -177,7 +187,7 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
         out_specs=pl.BlockSpec(
             (1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, lp, d_model), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, out_len, d_model), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -187,8 +197,8 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
             transcendentals=b * num_heads * lp * lp,
         ),
         interpret=_interpret(),
-    )(qp, kp, vp)
-    return out[:, :seq_len, :]
+    )(q, k, v)
+    return out[:, :seq_len, :] if padded else out
 
 
 def _xla_attention(q_h, k_h, v_h, scale: float):

@@ -118,18 +118,38 @@ def interpolate_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return _apply_separable(x, _linear_weights(x.shape[-2], h), _linear_weights(x.shape[-1], w))
 
 
+@lru_cache(maxsize=256)
+def _linear_taps(in_size: int, out_size: int):
+    """(lo_idx, hi_idx, frac) for one axis — the 2 nonzeros per row of
+    :func:`_linear_weights` in gather form."""
+    if in_size == 1:
+        z = np.zeros(out_size, np.int64)
+        return z, z, np.zeros(out_size, np.float32)
+    scale = in_size / out_size
+    src = np.maximum(scale * (np.arange(out_size) + 0.5) - 0.5, 0.0)
+    x0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    return x0, x1, (src - x0).astype(np.float32)
+
+
 def interpolate_bilinear_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """Host-side twin of :func:`interpolate_bilinear` (same weight matrices,
-    NumPy matmuls).  Used where a device round-trip would cost more than the
-    resample itself — e.g. per-image mask resizing in the eval loops."""
+    """Host-side twin of :func:`interpolate_bilinear` (identical tap/weight
+    formula).  Used where a device round-trip would cost more than the
+    resample itself — e.g. per-image mask resizing in the eval loops.
+
+    Gather-based on host (unlike the MXU matmul device path): the bilinear
+    weight matrix has 2 nonzeros per row, so a dense einsum wastes ~in/2 of
+    its FLOPs — at 518->640 that was 55ms/image of pure overhead."""
     h, w = int(size[0]), int(size[1])
     x = np.asarray(x, dtype=np.float32)
     if x.shape[-2] == h and x.shape[-1] == w:
         return x
-    wh = _linear_weights(x.shape[-2], h)
-    ww = _linear_weights(x.shape[-1], w)
-    y = np.einsum("...hw,Hh->...Hw", x, wh)
-    return np.einsum("...Hw,Ww->...HW", y, ww)
+    y0, y1, fy = _linear_taps(x.shape[-2], h)
+    x0, x1, fx = _linear_taps(x.shape[-1], w)
+    # H axis: (..., h_out, w_in)
+    t = x[..., y0, :] * (1.0 - fy)[:, None] + x[..., y1, :] * fy[:, None]
+    # W axis: (..., h_out, w_out)
+    return t[..., x0] * (1.0 - fx) + t[..., x1] * fx
 
 
 def interpolate_bicubic(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
