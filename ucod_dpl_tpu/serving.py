@@ -24,11 +24,14 @@ import numpy as np
 
 from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
 from ucod_dpl_tpu.data.transforms import image_transform
-from ucod_dpl_tpu.models.dba import RevDecoderParams, rev_decoder_forward
+from ucod_dpl_tpu.models.dba import (
+    RevDecoderParams,
+    rev_decoder_forward,
+    rev_decoder_forward_resized,
+)
 from ucod_dpl_tpu.models.dino import dino_forward
 from ucod_dpl_tpu.models.safetensors_io import load_decoder_checkpoint
-from ucod_dpl_tpu.ops import interpolate_bilinear
-from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc, interpolate_bilinear_np
 from ucod_dpl_tpu.utils.fileio import ImageIO
 
 
@@ -61,12 +64,9 @@ class Predictor:
                 backbone_params, pixels, self.fe.config, compute_dtype=self.fe.compute_dtype
             )
             feats = out["key_features"].astype(jnp.float32)
-            f = interpolate_bilinear(jnp.transpose(feats, (0, 3, 1, 2)), (fs, fs))
-            fg, _, _ = rev_decoder_forward(
-                decoder_params, f.transpose(0, 2, 3, 1), with_loss=False
-            )
-            up = interpolate_bilinear(jnp.transpose(fg, (0, 3, 1, 2)), self.image_size)
-            return jax.nn.sigmoid(up[:, 0])
+            fg, _, _ = rev_decoder_forward_resized(decoder_params, feats, fs)
+            up = interpolate_bilinear_nhwc(fg, self.image_size)[..., 0]
+            return jax.nn.sigmoid(up)
 
         @jax.jit
         def pixels_to_mask(backbone_params, decoder_params, pixels):
