@@ -119,16 +119,19 @@ def refine_with_crops(
     crop_batch_fn,
 ) -> np.ndarray:
     """Crop-zoom-reinfer each bbox and paste the refined mask
-    (loop_UCOD_DPL.py:326-352).  ``crop_batch_fn``: (N, H, W, 3) normalised
-    crops -> (N, fh, fw) binary masks; all crops of an image go through the
-    backbone in ONE device call (the reference ping-pongs host<->device per
-    bbox)."""
+    (loop_UCOD_DPL.py:326-352).  ``img`` may be a PIL image or a path (opened
+    lazily, only when there is something to crop).  ``crop_batch_fn``:
+    (N, H, W, 3) normalised crops -> (N, fh, fw) binary masks; all crops of
+    an image go through the backbone in ONE device call (the reference
+    ping-pongs host<->device per bbox)."""
     # drop degenerate boxes (the dynamic sqrt guard can emit zero-size
     # boxes where the reference's math.sqrt would have raised)
     bboxes = [b for b in bboxes if b[2] > 0 and b[3] > 0]
     if not bboxes:
         # nothing to re-look at (the reference loops over an empty list)
         return mask_hw
+    if isinstance(img, (str, os.PathLike)):
+        img = Image.open(img)
     ih, iw = img_size
     new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
 
@@ -202,7 +205,7 @@ class LookTwiceEvaluator:
         self, img_path: str, bboxes: List[List[int]], mask_hw: np.ndarray
     ) -> np.ndarray:
         return refine_with_crops(
-            Image.open(img_path),
+            img_path,
             bboxes,
             mask_hw,
             self.img_size,
