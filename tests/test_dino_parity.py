@@ -201,3 +201,36 @@ def test_pallas_packed_attention_interpret_matches_mha():
     with pltpu.force_tpu_interpret_mode():
         ours = A._pallas_attention_packed(q, k, v, nh, 0.1)
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_layernorm_ops_match_composition(monkeypatch):
+    """layernorm_qkv / layernorm_fc1_gelu (Pallas, interpret mode) must match
+    the unfused layernorm+dense composition."""
+    import jax
+
+    from ucod_dpl_tpu.models.dino import _dense, _layernorm
+    from ucod_dpl_tpu.ops import fused_layers as F
+
+    rng = np.random.default_rng(7)
+    b, l, d = 2, 150, 128
+    x = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    norm = {"scale": jnp.asarray(rng.standard_normal(d).astype(np.float32)),
+            "bias": jnp.asarray(rng.standard_normal(d).astype(np.float32))}
+    lin = lambda dout: {
+        "w": jnp.asarray(rng.standard_normal((d, dout)).astype(np.float32) * 0.05),
+        "b": jnp.asarray(rng.standard_normal(dout).astype(np.float32)),
+    }
+    qp, kp, vp, f1 = lin(d), lin(d), lin(d), lin(4 * d)
+
+    h = _layernorm(x, norm, 1e-6)
+    ref_q = _dense(h, qp, x.dtype)
+    ref_f1 = jax.nn.gelu(_dense(h, f1, x.dtype), approximate=True)
+
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    q, k, v = F.layernorm_qkv(x, norm, qp, kp, vp, 1e-6)
+    got_f1 = F._pallas_layernorm_fc1_gelu(
+        x, norm["scale"].reshape(1, d), norm["bias"].reshape(1, d),
+        f1["w"], f1["b"].reshape(1, 4 * d), 1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(q), np.asarray(ref_q), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_f1), np.asarray(ref_f1), rtol=1e-5, atol=1e-5)

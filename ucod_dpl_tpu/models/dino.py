@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ucod_dpl_tpu.ops.attention import multi_head_attention
+from ucod_dpl_tpu.ops.fused_layers import layernorm_qkv
 from ucod_dpl_tpu.ops.resize import interpolate_bicubic
 
 HI = jax.lax.Precision.HIGHEST
@@ -328,14 +329,23 @@ def dino_forward(
 
     def layer_fn(x, layer, is_last: bool):
         aux: Dict[str, jnp.ndarray] = {}
-        h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
-        # NOTE: a fused (768 -> 2304) qkv matmul feeding the attention kernel
-        # via lane-offset BlockSpecs was measured 4x SLOWER (6.8ms vs 1.7ms,
-        # scripts/bench_attention*.py) — the strided k/v block DMA out of the
-        # wide packed array dominates; three separate projections it is.
-        q = _dense(h, layer["q"], dtype)
-        k = _dense(h, layer["k"], dtype)
-        v = _dense(h, layer["v"], dtype)
+        # LayerNorm + q/k/v in ONE Pallas kernel on TPU (x read from HBM
+        # once, normalised in-register; 0.53 -> 0.42ms/layer).  A fused
+        # (768 -> 2304) qkv matmul feeding attention via lane-offset
+        # BlockSpecs was measured 4x SLOWER (strided k/v DMA out of the wide
+        # packed array) — three separate outputs it is.  The TP path keeps
+        # the unfused composition: its weights are GSPMD-sharded and the
+        # kernel would see partial columns.
+        if tp_shard is None:
+            q, k, v = layernorm_qkv(
+                x, layer["norm1"], layer["q"], layer["k"], layer["v"],
+                cfg.layer_norm_eps,
+            )
+        else:
+            h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
+            q = _dense(h, layer["q"], dtype)
+            k = _dense(h, layer["k"], dtype)
+            v = _dense(h, layer["v"], dtype)
 
         if is_last:
             aux["key_tokens"] = k
@@ -363,6 +373,11 @@ def dino_forward(
             attn = attn * layer["ls1"].astype(dtype)
         x = x + attn
 
+        # NOTE: an ln2+fc1+gelu Pallas fusion (ops/fused_layers.py:
+        # layernorm_fc1_gelu) wins standalone (0.55 -> 0.49ms) but LOSES in
+        # the composed layer (486 -> 455 img/s end-to-end): XLA fuses the
+        # preceding ls1-scale + residual add into ln2's consumer, and the
+        # kernel boundary forces that chain to materialise.  Unfused here.
         h2 = _layernorm(x, layer["norm2"], cfg.layer_norm_eps)
         h2 = _dense(h2, layer["fc1"], dtype)
         if dtype == jnp.bfloat16:

@@ -1,0 +1,182 @@
+"""Fused transformer-layer fragments (Pallas TPU).
+
+``layernorm_qkv``: LayerNorm + the three q/k/v projections in one kernel —
+the hidden state is read from HBM once and normalised in-register instead of
+LN writing a 33MB intermediate that three separate matmuls re-read
+(0.53ms -> 0.42ms per layer at bs16@518px; scripts/bench_lnqkv.py).
+
+The MLP half was measured AT its bandwidth/compute roofline under plain XLA
+(fc1+gelu+fc2 fuse already), so no kernel exists for it — see
+ROADMAP/profiling notes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ucod_dpl_tpu.ops.attention import _ceil_to, _interpret, use_pallas
+
+_BQ = 704  # rows per program: best measured at ViT-B 518px shapes
+
+
+def _lnqkv_kernel(
+    x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, bias_ref, q_ref, k_ref, v_ref,
+    *, eps: float,
+):
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]).astype(
+        x_ref.dtype
+    )
+    for idx, (w_ref, o_ref) in enumerate(
+        ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref))
+    ):
+        o = jnp.dot(h, w_ref[...], preferred_element_type=jnp.float32)
+        o_ref[0] = (o + bias_ref[idx]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _pallas_layernorm_qkv(x, ln_scale, ln_bias, wq, wk, wv, bqkv, eps: float):
+    b, l, d = x.shape
+    bq = min(_BQ, _ceil_to(l, 128))
+    lp = _ceil_to(l, bq)
+    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    if padded:  # the (CPU-hosted) interpreter lacks Mosaic's boundary masking
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out_len = lp if padded else l
+
+    grid = (b, lp // bq)
+    vec = pl.BlockSpec((1, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((d, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_lnqkv_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            blk, vec, vec, mat, mat, mat,
+            pl.BlockSpec((3, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, out_len, d), x.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, ln_scale, ln_bias, wq, wk, wv, bqkv)
+    if padded:
+        outs = [o[:, :l, :] for o in outs]
+    return tuple(outs)
+
+
+_BQ_FC1 = 512  # measured sweet spot (4.7MB resident weight + 3MB out tile)
+
+
+def _lnfc1_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, o_ref, *, eps: float):
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    h = ((xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]).astype(
+        x_ref.dtype
+    )
+    h1 = (
+        jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32) + b1_ref[0]
+    ).astype(o_ref.dtype)
+    o_ref[0] = jax.nn.gelu(h1, approximate=True)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _pallas_layernorm_fc1_gelu(x, ln_scale, ln_bias, w1, b1, eps: float):
+    b, l, d = x.shape
+    df = w1.shape[-1]
+    bq = min(_BQ_FC1, _ceil_to(l, 128))
+    lp = _ceil_to(l, bq)
+    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    if padded:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out_len = lp if padded else l
+
+    grid = (b, lp // bq)
+    out = pl.pallas_call(
+        functools.partial(_lnfc1_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, df), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_len, df), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, ln_scale, ln_bias, w1, b1)
+    return out[:, :l, :] if padded else out
+
+
+def layernorm_fc1_gelu(x, norm_params, fc1_params, eps: float):
+    """(B, L, D) -> gelu(fc1(layernorm(x))): the MLP half up to the hidden
+    expansion.  LayerNorm's reduction breaks XLA's fusion chain before fc1,
+    so fusing them (resident fc1 weight, in-register stats) reads x once
+    (0.55 -> 0.49ms/layer).  The full MLP-half kernel (incl. fc2) was
+    measured SLOWER than XLA (VMEM pressure kills pipelining) — only this
+    half is fused."""
+    d = x.shape[-1]
+    df = fc1_params["w"].shape[-1]
+    if use_pallas() and d % 128 == 0 and df % 128 == 0:
+        return _pallas_layernorm_fc1_gelu(
+            x,
+            norm_params["scale"].astype(jnp.float32).reshape(1, d),
+            norm_params["bias"].astype(jnp.float32).reshape(1, d),
+            fc1_params["w"].astype(x.dtype),
+            fc1_params["b"].astype(jnp.float32).reshape(1, df),
+            float(eps),
+        )
+    from ucod_dpl_tpu.models.dino import _dense, _layernorm
+
+    h = _layernorm(x, norm_params, eps)
+    h = _dense(h, fc1_params, x.dtype)
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(h, approximate=True)
+    return jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
+
+
+def layernorm_qkv(x, norm_params, q_params, k_params, v_params, eps: float):
+    """(B, L, D) hidden state -> (q, k, v) projections of its LayerNorm.
+
+    Pallas-fused on TPU; falls back to the plain composition elsewhere.
+    Param dicts use the dino layout: norm {scale, bias}, linear {w, b}.
+    """
+    d = x.shape[-1]
+    if use_pallas() and d % 128 == 0:
+        bqkv = jnp.stack(
+            [q_params["b"], k_params["b"], v_params["b"]]
+        ).astype(jnp.float32)
+        return _pallas_layernorm_qkv(
+            x,
+            norm_params["scale"].astype(jnp.float32).reshape(1, d),
+            norm_params["bias"].astype(jnp.float32).reshape(1, d),
+            q_params["w"].astype(x.dtype),
+            k_params["w"].astype(x.dtype),
+            v_params["w"].astype(x.dtype),
+            bqkv,
+            float(eps),
+        )
+    from ucod_dpl_tpu.models.dino import _dense, _layernorm
+
+    h = _layernorm(x, norm_params, eps)
+    return (
+        _dense(h, q_params, x.dtype),
+        _dense(h, k_params, x.dtype),
+        _dense(h, v_params, x.dtype),
+    )
