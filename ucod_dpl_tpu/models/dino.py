@@ -336,7 +336,11 @@ def dino_forward(
         # packed array) — three separate outputs it is.  The TP path keeps
         # the unfused composition: its weights are GSPMD-sharded and the
         # kernel would see partial columns.
-        if tp_shard is None:
+        # the LAST layer stays unfused: the fused kernel is opaque to XLA, so
+        # feature-extraction programs (which consume only this layer's k)
+        # could no longer dead-code-eliminate its q/v projections, attention
+        # and MLP — that DCE is worth more than the fusion.
+        if tp_shard is None and not is_last:
             q, k, v = layernorm_qkv(
                 x, layer["norm1"], layer["q"], layer["k"], layer["v"],
                 cfg.layer_norm_eps,
