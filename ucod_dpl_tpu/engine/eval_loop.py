@@ -111,6 +111,39 @@ def find_refine_bboxes(
     return bboxes
 
 
+def prepare_crops(
+    img, bboxes: List[List[int]], img_size: Tuple[int, int]
+) -> Tuple[List[List[int]], List[np.ndarray]]:
+    """Host half of LookTwice: filter degenerate boxes (the dynamic sqrt
+    guard can emit zero-size boxes where the reference's math.sqrt would
+    have raised), open the image lazily (path or PIL), and produce the
+    normalised crop arrays (loop_UCOD_DPL.py:334-342)."""
+    bboxes = [b for b in bboxes if b[2] > 0 and b[3] > 0]
+    if not bboxes:
+        return [], []
+    if isinstance(img, (str, os.PathLike)):
+        img = Image.open(img)
+    ih, iw = img_size
+    crops = []
+    for bbox in bboxes:
+        x, y, w, h = resize_bbox(bbox, iw, ih, img.size[0], img.size[1])
+        cropped = img.crop((x, y, x + max(w, 1), y + max(h, 1)))
+        crops.append(image_transform(cropped.convert("RGB"), img_size))
+    return bboxes, crops
+
+
+def paste_refined(
+    mask_hw: np.ndarray, bboxes: List[List[int]], preds: np.ndarray
+) -> np.ndarray:
+    """Paste per-crop refined masks back (loop_UCOD_DPL.py:348-352)."""
+    new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
+    for bbox, pred in zip(bboxes, preds):
+        pil = Image.fromarray((pred * 255).astype(np.uint8))
+        pil = pil.resize((bbox[2], bbox[3]))  # PIL default bicubic
+        new_mask.paste(pil, (bbox[0], bbox[1]))
+    return np.asarray(new_mask, dtype=np.float32) / 255.0
+
+
 def refine_with_crops(
     img: "Image.Image",
     bboxes: List[List[int]],
@@ -119,39 +152,21 @@ def refine_with_crops(
     crop_batch_fn,
 ) -> np.ndarray:
     """Crop-zoom-reinfer each bbox and paste the refined mask
-    (loop_UCOD_DPL.py:326-352).  ``img`` may be a PIL image or a path (opened
-    lazily, only when there is something to crop).  ``crop_batch_fn``:
-    (N, H, W, 3) normalised crops -> (N, fh, fw) binary masks; all crops of
-    an image go through the backbone in ONE device call (the reference
-    ping-pongs host<->device per bbox)."""
-    # drop degenerate boxes (the dynamic sqrt guard can emit zero-size
-    # boxes where the reference's math.sqrt would have raised)
-    bboxes = [b for b in bboxes if b[2] > 0 and b[3] > 0]
+    (loop_UCOD_DPL.py:326-352).  ``crop_batch_fn``: (N, H, W, 3) normalised
+    crops -> (N, fh, fw) binary masks; all crops of an image go through the
+    backbone in ONE device call (the reference ping-pongs host<->device per
+    bbox).  The eval loop batches even wider — all crops of a whole BATCH of
+    images per device call — via prepare_crops/paste_refined directly."""
+    bboxes, crops = prepare_crops(img, bboxes, img_size)
     if not bboxes:
         # nothing to re-look at (the reference loops over an empty list)
         return mask_hw
-    if isinstance(img, (str, os.PathLike)):
-        img = Image.open(img)
-    ih, iw = img_size
-    new_mask = Image.fromarray((mask_hw * 255).astype(np.uint8))
-
-    crops = []
-    for bbox in bboxes:
-        x, y, w, h = resize_bbox(bbox, iw, ih, img.size[0], img.size[1])
-        cropped = img.crop((x, y, x + max(w, 1), y + max(h, 1)))
-        crops.append(image_transform(cropped.convert("RGB"), img_size))
-
     n = len(crops)
     nb = _bucket(n)
     batch = np.zeros((nb, *crops[0].shape), dtype=np.float32)
     batch[:n] = np.stack(crops)
     preds = np.asarray(crop_batch_fn(batch))[:n]
-
-    for bbox, pred in zip(bboxes, preds):
-        pil = Image.fromarray((pred * 255).astype(np.uint8))
-        pil = pil.resize((bbox[2], bbox[3]))  # PIL default bicubic
-        new_mask.paste(pil, (bbox[0], bbox[1]))
-    return np.asarray(new_mask, dtype=np.float32) / 255.0
+    return paste_refined(mask_hw, bboxes, preds)
 
 
 class LookTwiceEvaluator:
@@ -260,14 +275,42 @@ class LookTwiceEvaluator:
 
         def process(pending):
             (dev_binaries, n), batch = pending
-            binaries = np.asarray(dev_binaries)[:n]
-            for binary, label, img_path in zip(binaries, batch["label"], batch["img_path"]):
-                binary = binary.astype(np.float32)
-                if self.look_twice_enabled:
-                    bboxes = self.process_preds(binary)
-                    if bboxes is not None:
-                        binary = self.look_twice(img_path, bboxes, binary)
+            binaries = [b.astype(np.float32) for b in np.asarray(dev_binaries)[:n]]
 
+            if self.look_twice_enabled:
+                # ALL crops of the whole batch go through the backbone in ONE
+                # bucketed device call (per-image calls pay a sync dispatch
+                # round-trip each and underfill the MXU)
+                work = []  # (image idx, bboxes, crop arrays)
+                for i in range(n):
+                    bboxes = self.process_preds(binaries[i])
+                    if bboxes is None:
+                        continue
+                    vb, crops = prepare_crops(
+                        batch["img_path"][i], bboxes, self.img_size
+                    )
+                    if vb:
+                        work.append((i, vb, crops))
+                if work:
+                    all_crops = [c for _, _, crops in work for c in crops]
+                    total = len(all_crops)
+                    nb = _bucket(total)
+                    cbatch = np.zeros((nb, *all_crops[0].shape), np.float32)
+                    cbatch[:total] = np.stack(all_crops)
+                    preds = np.asarray(
+                        self._crop_pass(
+                            self.runner.decoder_params,
+                            self.runner.feature_extractor.params,
+                            cbatch,
+                        )
+                    )[:total]
+                    off = 0
+                    for i, vb, crops in work:
+                        k = len(crops)
+                        binaries[i] = paste_refined(binaries[i], vb, preds[off : off + k])
+                        off += k
+
+            for binary, label, img_path in zip(binaries, batch["label"], batch["img_path"]):
                 lh, lw = label.shape[:2]
                 # host resize: avoids an upload+download round-trip per image
                 pred = (interpolate_bilinear_np(binary, (lh, lw)) > 0.5).astype(
