@@ -115,3 +115,54 @@ def test_individual_metrics_parity(ref_metrics):
         adp_f, curve_f, _, _ = M.f_measure(pred, gt)
         assert np.isclose(adp_f, res["adp"])
         np.testing.assert_allclose(curve_f, res["curve"], rtol=1e-10)
+
+
+def test_native_scorer_parity():
+    """The C++ scorer (native/metrics_kernel.cpp) must reproduce the NumPy
+    protocol bundle at float64 precision — including EDT tie-breaking
+    (checkerboard), the constant-pred integer-cast quirk, and degenerate
+    masks."""
+    import pytest
+
+    from ucod_dpl_tpu.utils.metrics import (
+        _gauss_kernel_matlab,
+        _score_one,
+        normalize_pair,
+    )
+    from ucod_dpl_tpu.utils.native import score_one_native
+
+    K = _gauss_kernel_matlab()
+    rng = np.random.default_rng(11)
+
+    def one_case(g, p):
+        pn, gn = normalize_pair(p, g)
+        native = score_one_native(pn, gn, K)  # dtype carries the int quirk
+        if native is None:
+            pytest.skip("no compiler: native metrics unavailable")
+        import os
+
+        os.environ["UCOD_NATIVE_METRICS"] = "0"
+        try:
+            ref = _score_one((g, p))
+        finally:
+            os.environ.pop("UCOD_NATIVE_METRICS", None)
+        for i in range(5):
+            a, b = ref[i], native[i]
+            assert np.isclose(a, b, rtol=1e-9, atol=1e-12) or (
+                np.isnan(a) and np.isnan(b)
+            ), (i, a, b)
+        np.testing.assert_allclose(native[5], ref[5], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(native[6], ref[6], rtol=1e-9, atol=1e-12)
+
+    for _ in range(3):  # random soft preds
+        h, w = int(rng.integers(30, 150)), int(rng.integers(30, 150))
+        one_case((rng.random((h, w)) > 0.7).astype(float) * 255, rng.random((h, w)) * 255)
+    yy, xx = np.mgrid[:64, :80]  # tie-heavy EDT
+    one_case((((yy // 8) + (xx // 8)) % 2).astype(float) * 255, rng.random((64, 80)))
+    g = np.zeros((50, 60)); g[20:30, 20:40] = 255
+    one_case(g, np.full((50, 60), 255.0))  # constant-pred int-cast quirk
+    one_case(g, np.zeros((50, 60)))
+    one_case(np.zeros((50, 60)), rng.random((50, 60)))  # empty gt
+    one_case(np.full((50, 60), 255.0), rng.random((50, 60)))  # full gt
+    g = np.zeros((50, 60)); g[25, 30] = 255
+    one_case(g, rng.random((50, 60)))  # single-pixel gt (ddof=1 nan path)

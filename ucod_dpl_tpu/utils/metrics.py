@@ -289,10 +289,32 @@ def calculate_cod_metrics(gt_paths, pred_paths, verbose: bool = True) -> Dict[st
     }
 
 
+def _native_scorer_enabled() -> bool:
+    import os
+
+    return os.environ.get("UCOD_NATIVE_METRICS", "1") != "0"
+
+
 def _score_one(args) -> tuple:
-    """Per-image metric bundle (module-level: process-pool picklable)."""
+    """Per-image metric bundle (module-level: process-pool picklable).
+
+    Routes through the native C++ scorer (native/metrics_kernel.cpp) when the
+    shared library is available — same float64 math, ~4x faster per image
+    (the protocol's EDT + 7x7 gaussian make this the eval pipeline's host
+    bottleneck); parity with this NumPy path is pinned by
+    test_metrics.test_native_scorer_parity.  UCOD_NATIVE_METRICS=0 forces
+    the NumPy path."""
     g, p = args
     pn, gn = normalize_pair(p, g)
+    if _native_scorer_enabled():
+        from ucod_dpl_tpu.utils.native import score_one_native
+
+        # pn keeps normalize_pair's dtype: int64 signals the constant-pred
+        # quirk (integer-arithmetic WFM convolution) to the native scorer
+        native = score_one_native(pn, gn, _gauss_kernel_matlab())
+        if native is not None:
+            sm, m, wfm, acc, iou, e_curve, f_curve = native
+            return (sm, m, wfm, acc, iou, e_curve, f_curve)
     _, e_curve = e_measure(pn, gn)
     _, f_curve, _, _ = f_measure(pn, gn)
     return (

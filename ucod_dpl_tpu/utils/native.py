@@ -1,7 +1,7 @@
-"""ctypes bindings for the native host runtime (native/cc_label.cpp).
+"""ctypes bindings for the native host runtime (native/*.cpp).
 
-Auto-builds the shared library with g++ on first use (cached); callers fall
-back to the pure-Python/scipy paths when no compiler is available.
+Auto-builds the shared libraries with g++ on first use (cached); callers
+fall back to the pure-Python/scipy paths when no compiler is available.
 """
 
 from __future__ import annotations
@@ -24,10 +24,10 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _build_so(src: str, so: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO_PATH, _SRC_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
             check=True,
             capture_output=True,
             timeout=120,
@@ -37,21 +37,31 @@ def _build() -> bool:
         return False
 
 
+def _load_so(src: str, so: str) -> Optional[ctypes.CDLL]:
+    """(Re)build when the source is newer, then dlopen; None on any failure."""
+    if not os.path.exists(so) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    ):
+        if not os.path.exists(src) or not _build_so(src, so):
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
+def _build() -> bool:
+    return _build_so(_SRC_PATH, _SO_PATH)
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) or (
-            os.path.exists(_SRC_PATH)
-            and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
-        ):
-            if not os.path.exists(_SRC_PATH) or not _build():
-                return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
+        lib = _load_so(_SRC_PATH, _SO_PATH)
+        if lib is None:
             return None
         lib.cc_label_u8.restype = ctypes.c_int32
         lib.cc_label_u8.argtypes = [
@@ -104,3 +114,72 @@ def cc_stats(labels: np.ndarray, num: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# native metric scorer (native/metrics_kernel.cpp)
+# ---------------------------------------------------------------------------
+
+_METRICS_SO = os.path.join(_NATIVE_DIR, "libmetrics.so")
+_METRICS_SRC = os.path.join(_NATIVE_DIR, "metrics_kernel.cpp")
+_metrics_lib: Optional[ctypes.CDLL] = None
+_metrics_tried = False
+
+
+def get_metrics_lib() -> Optional[ctypes.CDLL]:
+    global _metrics_lib, _metrics_tried
+    with _lock:
+        if _metrics_lib is not None or _metrics_tried:
+            return _metrics_lib
+        _metrics_tried = True
+        lib = _load_so(_METRICS_SRC, _METRICS_SO)
+        if lib is None:
+            return None
+        lib.score_one.restype = None
+        lib.score_one.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # pred (normalised)
+            ctypes.POINTER(ctypes.c_uint8),   # gt (bool)
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,                   # pred_is_int (protocol quirk)
+            ctypes.POINTER(ctypes.c_double),  # 7x7 gaussian kernel
+            ctypes.POINTER(ctypes.c_double),  # scalars[5]
+            ctypes.POINTER(ctypes.c_double),  # e_curve[256]
+            ctypes.POINTER(ctypes.c_double),  # f_curve[256]
+        ]
+        _metrics_lib = lib
+        return _metrics_lib
+
+
+def score_one_native(pred_norm: np.ndarray, gt_bool: np.ndarray, kernel7: np.ndarray):
+    """Native per-image metric bundle on a protocol-normalised pair, or None
+    when the library is unavailable.  Returns
+    (sm, mae, wfm, acc, iou, e_curve, f_curve).
+
+    ``pred_norm`` keeps normalize_pair's dtype: an integer array signals the
+    constant-prediction quirk, where the reference's WFM convolution runs in
+    integer arithmetic (scipy truncates the int64 output toward zero)."""
+    lib = get_metrics_lib()
+    if lib is None:
+        return None
+    pred_is_int = np.issubdtype(np.asarray(pred_norm).dtype, np.integer)
+    pred = np.ascontiguousarray(pred_norm, dtype=np.float64)
+    gt = np.ascontiguousarray(gt_bool, dtype=np.uint8)
+    k = np.ascontiguousarray(kernel7, dtype=np.float64)
+    h, w = pred.shape
+    scalars = np.empty(5, np.float64)
+    e_curve = np.empty(256, np.float64)
+    f_curve = np.empty(256, np.float64)
+    lib.score_one(
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        gt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, int(pred_is_int),
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        scalars.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        e_curve.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        f_curve.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return (
+        float(scalars[0]), float(scalars[1]), float(scalars[2]),
+        float(scalars[3]), float(scalars[4]), e_curve, f_curve,
+    )
