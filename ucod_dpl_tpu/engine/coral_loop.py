@@ -18,6 +18,7 @@ our design choice, documented here, since upstream never defined one.
 
 from __future__ import annotations
 
+import functools
 import os
 from functools import partial
 from typing import Dict
@@ -67,6 +68,33 @@ def concate_m_patch_preds(preds: jnp.ndarray) -> jnp.ndarray:
     return canvas / (counter + 1e-6)
 
 
+# module-level cached jit builders: evaluators are constructed per launch
+# and per-instance closures would re-trace on every dataset (see
+# eval_loop._make_first_pass for the rationale)
+
+@functools.lru_cache(maxsize=8)
+def _make_decoder_fwd():
+    @jax.jit
+    def decoder_fwd(dec, feats):
+        fg, _, _ = rev_decoder_forward(dec, feats, with_loss=False)
+        return fg
+
+    return decoder_fwd
+
+
+@functools.lru_cache(maxsize=16)
+def _make_refine(window_size: int, threshold: float):
+    @jax.jit
+    def refine(refiner_params, l_feat, h_feat, preds):
+        out = sparse_refiner_forward(
+            refiner_params, l_feat, h_feat, preds,
+            window_size=window_size, threshold=threshold,
+        )
+        return out.outputs
+
+    return refine
+
+
 class LocalRefineEvaluator:
     def __init__(self, cfg, runner):
         self.cfg = cfg
@@ -78,23 +106,8 @@ class LocalRefineEvaluator:
         self.require_m = cfg.dataset_cfg.valset_cfg.get("require_m_patches", False)
         self.save_preds = cfg.val_cfg.get("save_preds", True)
 
-        wl = self.window_length
-
-        @jax.jit
-        def decoder_fwd(dec, feats):
-            fg, _, _ = rev_decoder_forward(dec, feats, with_loss=False)
-            return fg
-
-        @partial(jax.jit, static_argnames=())
-        def refine(refiner_params, l_feat, h_feat, preds):
-            out = sparse_refiner_forward(
-                refiner_params, l_feat, h_feat, preds,
-                window_size=self.window_size, threshold=self.threshold,
-            )
-            return out.outputs
-
-        self._decoder_fwd = decoder_fwd
-        self._refine = refine
+        self._decoder_fwd = _make_decoder_fwd()
+        self._refine = _make_refine(self.window_size, float(self.threshold))
 
     # -- feature prep (loop_CORAL.py:206-245) ------------------------------
     def _prepare(self, l_input, h_input, m_input):

@@ -17,6 +17,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import List, Optional, Tuple
@@ -169,6 +170,43 @@ def refine_with_crops(
     return paste_refined(mask_hw, bboxes, preds)
 
 
+# jitted step builders are MODULE-LEVEL and cached on their static config:
+# an evaluator is constructed per launch (the reference builds a fresh loop
+# per dataset too), and jit caches key on the function OBJECT — per-instance
+# closures would re-trace and re-hit the compilation cache (seconds per
+# launch over a remote-compile tunnel) on every dataset.
+
+@functools.lru_cache(maxsize=32)
+def _make_first_pass(feature_size: int, img_size: Tuple[int, int]):
+    @jax.jit
+    def first_pass(decoder_params, features):
+        # features: (B, fh, fw, C) cached key features. Masks come back
+        # as uint8 — 4x less device-to-host traffic than f32 (the
+        # transfer, not the compute, dominates eval on tunneled chips).
+        # The 37->68 interpolation is folded behind the decoder's 1x1
+        # decoupling (mathematically exact; see rev_decoder_forward_resized)
+        fg, _, _ = rev_decoder_forward_resized(decoder_params, features, feature_size)
+        up = interpolate_bilinear_nhwc(fg, img_size)[..., 0]
+        return (jax.nn.sigmoid(up) > 0.5).astype(jnp.uint8)  # (B, H, W)
+
+    return first_pass
+
+
+@functools.lru_cache(maxsize=32)
+def _make_crop_pass(dino_config, compute_dtype):
+    @jax.jit
+    def crop_pass(decoder_params, backbone_params, images):
+        out = dino_forward(
+            backbone_params, images, dino_config, compute_dtype=compute_dtype
+        )
+        fg, _, _ = rev_decoder_forward(
+            decoder_params, out["key_features"].astype(jnp.float32), with_loss=False
+        )
+        return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)  # (N, fh, fw)
+
+    return crop_pass
+
+
 class LookTwiceEvaluator:
     def __init__(self, cfg, runner):
         self.cfg = cfg
@@ -181,34 +219,8 @@ class LookTwiceEvaluator:
         self.save_preds = cfg.val_cfg.get("save_preds", True)
 
         fe = runner.feature_extractor
-        h = w = self.feature_size
-
-        @jax.jit
-        def first_pass(decoder_params, features):
-            # features: (B, fh, fw, C) cached key features. Masks come back
-            # as uint8 — 4x less device-to-host traffic than f32 (the
-            # transfer, not the compute, dominates eval on tunneled chips).
-            # The 37->68 interpolation is folded behind the decoder's 1x1
-            # decoupling (mathematically exact; see rev_decoder_forward_resized)
-            fg, _, _ = rev_decoder_forward_resized(decoder_params, features, h)
-            up = interpolate_bilinear_nhwc(fg, self.img_size)[..., 0]
-            return (jax.nn.sigmoid(up) > 0.5).astype(jnp.uint8)  # (B, H, W)
-
-        @jax.jit
-        def crop_pass(decoder_params, backbone_params, images):
-            out = dino_forward(
-                backbone_params,
-                images,
-                fe.config,
-                compute_dtype=fe.compute_dtype,
-            )
-            fg, _, _ = rev_decoder_forward(
-                decoder_params, out["key_features"].astype(jnp.float32), with_loss=False
-            )
-            return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)  # (N, fh, fw)
-
-        self._first_pass = first_pass
-        self._crop_pass = crop_pass
+        self._first_pass = _make_first_pass(self.feature_size, self.img_size)
+        self._crop_pass = _make_crop_pass(fe.config, fe.compute_dtype)
 
     # ------------------------------------------------------------------
     def process_preds(self, binary_hw: np.ndarray) -> Optional[List[List[int]]]:
