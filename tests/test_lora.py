@@ -89,3 +89,36 @@ def test_lora_gradients_flow_only_to_adapters():
     assert np.allclose(ga, 0)
     assert not np.allclose(gb, 0)
     assert np.all(np.isfinite(gb))
+
+
+def test_lora_grad_bypasses_pallas_kernels(monkeypatch):
+    """jax.grad through lora_forward must work even where the Pallas kernels
+    are active (they have no VJP rules — on TPU, differentiating through
+    them raises).  UCOD_PALLAS_INTERPRET=1 forces the kernel path on CPU, so
+    without differentiable_mode this test reproduces the TPU failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from ucod_dpl_tpu.models.dino import DinoConfig, init_dino
+    from ucod_dpl_tpu.models.lora import init_lora, lora_forward
+
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    cfg = DinoConfig(
+        variant="dinov2", image_size=28, patch_size=14, hidden_size=128,
+        num_layers=1, num_heads=2, mlp_ratio=2, use_layerscale=True,
+    )
+    base = init_dino(jax.random.PRNGKey(0), cfg)
+    lora = init_lora(jax.random.PRNGKey(1), base, rank=2)
+    pixels = jax.random.normal(jax.random.PRNGKey(2), (1, 28, 28, 3))
+
+    def loss(lo):
+        out = lora_forward(
+            jax.tree.map(jax.lax.stop_gradient, base), lo, pixels, cfg
+        )
+        return jnp.sum(out["key_features"] ** 2)
+
+    grads = jax.grad(loss)(lora)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # B matrices start at zero but receive gradient through A @ B
+    assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in leaves)

@@ -72,7 +72,16 @@ def lora_forward(dino_params, lora, pixels, cfg, rank: int = 2, alpha: float = 4
     """Forward through the LoRA-adapted backbone.
 
     Differentiable w.r.t. ``lora`` only when ``dino_params`` is wrapped in
-    ``jax.lax.stop_gradient`` by the caller (the base stays frozen)."""
-    from ucod_dpl_tpu.models.dino import dino_forward
+    ``jax.lax.stop_gradient`` by the caller (the base stays frozen).
 
-    return dino_forward(apply_lora(dino_params, lora, rank, alpha), pixels, cfg, **kwargs)
+    Traced inside :class:`~ucod_dpl_tpu.ops.attention.differentiable_mode`:
+    the Pallas attention / fused-LN kernels have no VJP rules, so the
+    adaptation path uses the XLA formulations (identical math) — inference
+    through the *merged* weights keeps the fast kernels."""
+    from ucod_dpl_tpu.models.dino import dino_forward
+    from ucod_dpl_tpu.ops.attention import differentiable_mode
+
+    with differentiable_mode():
+        return dino_forward(
+            apply_lora(dino_params, lora, rank, alpha), pixels, cfg, **kwargs
+        )

@@ -219,7 +219,32 @@ def _interpret() -> bool:
     return bool(os.environ.get("UCOD_PALLAS_INTERPRET"))
 
 
+_DIFFERENTIABLE_DEPTH = 0
+
+
+class differentiable_mode:
+    """Context manager: route attention (and the fused LN+QKV) through the
+    differentiable XLA paths instead of Pallas kernels.
+
+    The Pallas kernels have no VJP rules — ``jax.grad`` through them raises
+    on TPU.  Paths that differentiate through the backbone (LoRA adaptation)
+    must trace their forwards inside this context; inference/eval keeps the
+    kernels.  (Trace-time switch: the flag is read while jit traces.)"""
+
+    def __enter__(self):
+        global _DIFFERENTIABLE_DEPTH
+        _DIFFERENTIABLE_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _DIFFERENTIABLE_DEPTH
+        _DIFFERENTIABLE_DEPTH -= 1
+        return False
+
+
 def use_pallas() -> bool:
+    if _DIFFERENTIABLE_DEPTH > 0:
+        return False  # kernels have no VJP; see differentiable_mode
     if os.environ.get("UCOD_DISABLE_PALLAS"):
         return False
     if _interpret():
