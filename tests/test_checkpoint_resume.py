@@ -59,3 +59,34 @@ def test_resume_continues_identically(tmp_path):
         atol=1e-8,
     )
     assert int(s_straight.ema_step) == int(s_b.ema_step)
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """save_train_state(backend='orbax') + auto-detected load restore a
+    NamedTuple train state bitwise (the multi-host-capable backend)."""
+    import jax.numpy as jnp
+
+    from ucod_dpl_tpu.engine.checkpoint import load_train_state, save_train_state
+    from ucod_dpl_tpu.engine.train_step import TrainState
+    from ucod_dpl_tpu.models.dba import init_rev_decoder
+    from ucod_dpl_tpu.models.discriminator import init_discriminator
+
+    import jax
+
+    dec = init_rev_decoder(jax.random.PRNGKey(0), 32)
+    ema = init_rev_decoder(jax.random.PRNGKey(1), 32)
+    dis_p, dis_s = init_discriminator(
+        jax.random.PRNGKey(2), feature_size=8, feature_dim=32, use_features=False
+    )
+    state = TrainState(
+        decoder=dec, decoder_ema=ema, opt_state={"m": jnp.ones((3,))},
+        dis_params=dis_p, dis_stats=dis_s, dis_opt_state={"v": jnp.zeros((2,))},
+        ema_step=jnp.int32(5),
+    )
+    path = str(tmp_path / "state")
+    save_train_state(path, state, {"epoch": 3, "finetune": True}, backend="orbax")
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored, meta = load_train_state(path, template)
+    assert meta == {"epoch": 3, "finetune": True}
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -3,9 +3,17 @@
 plus the ``--resume`` flag the reference parses but never consumes).
 
 Model-interchange checkpoints stay in the reference-compatible safetensors
-format (models/safetensors_io.py); *resume* state (optimizer moments, EMA
-step, epoch) is framework-internal and stored as a single ``.npz`` with
-key-path-addressed leaves — no pickle, works for any pytree of arrays.
+format (models/safetensors_io.py).  *Resume* state (optimizer moments, EMA
+step, epoch) has two backends:
+
+  * ``npz`` (default): a single file with key-path-addressed leaves — no
+    pickle, zero dependencies, ideal for single-host runs;
+  * ``orbax``: production multi-host checkpointing — sharded arrays are
+    written per-shard by their owning processes (the npz path would gather
+    everything to host 0), with OCDBT storage and atomic finalisation.
+
+``load_train_state`` auto-detects the backend from what is on disk, so
+resume works across backend changes.
 """
 
 from __future__ import annotations
@@ -26,17 +34,37 @@ def _flatten_with_paths(tree: Any) -> Dict[str, np.ndarray]:
     return flat
 
 
-def save_train_state(path: str, state: Any, metadata: Dict[str, Any]) -> None:
-    """Save a pytree + JSON metadata as ``<path>.npz`` / ``<path>.json``."""
+def save_train_state(
+    path: str, state: Any, metadata: Dict[str, Any], backend: str = "npz"
+) -> None:
+    """Save a pytree + JSON metadata (``backend``: 'npz' or 'orbax')."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    flat = _flatten_with_paths(state)
-    np.savez(path + ".npz", **flat)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path) + ".orbax", state, force=True)
+        ckptr.wait_until_finished()
+    elif backend == "npz":
+        flat = _flatten_with_paths(state)
+        np.savez(path + ".npz", **flat)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     with open(path + ".json", "w") as f:
         json.dump(metadata, f)
 
 
 def load_train_state(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
-    """Restore a pytree with the same structure as ``template``."""
+    """Restore a pytree with the same structure as ``template``; the backend
+    is auto-detected from what exists at ``path``."""
+    if not os.path.exists(path + ".npz") and os.path.isdir(path + ".orbax"):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(os.path.abspath(path) + ".orbax", template)
+        with open(path + ".json") as f:
+            metadata = json.load(f)
+        return state, metadata
     data = np.load(path + ".npz")
     flat_template = _flatten_with_paths(template)
     missing = set(flat_template) - set(data.files)

@@ -86,6 +86,9 @@ class TrainLoop:
         self.best_mae = float("inf")
         self.best_result: Optional[Dict[str, float]] = None
         self.save_mode = tc.get("save_cfg", {}).get("save_mode", "model")
+        # full-state backend: "npz" (single-host default) or "orbax"
+        # (multi-host sharded saves) — see engine/checkpoint.py
+        self.ckpt_backend = tc.get("save_cfg", {}).get("backend", "npz")
 
         resume = tc.get("resume")
         if resume:
@@ -147,6 +150,7 @@ class TrainLoop:
                     "finetune": self.finetune,
                     "best_mae": self.best_mae,
                 },
+                backend=self.ckpt_backend,
             )
             self.runner.logger.log(
                 f"Preemption signal {signum}: state saved to {path}; resume with "
@@ -195,6 +199,7 @@ class TrainLoop:
                             "finetune": self.finetune,
                             "best_mae": self.best_mae,
                         },
+                        backend=self.ckpt_backend,
                     )
 
             if (
