@@ -162,12 +162,15 @@ def refine_with_crops(
     if not bboxes:
         # nothing to re-look at (the reference loops over an empty list)
         return mask_hw
-    n = len(crops)
-    nb = _bucket(n)
-    batch = np.zeros((nb, *crops[0].shape), dtype=np.float32)
-    batch[:n] = np.stack(crops)
-    preds = np.asarray(crop_batch_fn(batch))[:n]
-    return paste_refined(mask_hw, bboxes, preds)
+    preds_parts = []
+    cap = _CROP_BUCKETS[-1]  # chunk: unbounded counts would compile new shapes
+    for s0 in range(0, len(crops), cap):
+        chunk = crops[s0 : s0 + cap]
+        nb = _bucket(len(chunk))
+        batch = np.zeros((nb, *chunk[0].shape), dtype=np.float32)
+        batch[: len(chunk)] = np.stack(chunk)
+        preds_parts.append(np.asarray(crop_batch_fn(batch))[: len(chunk)])
+    return paste_refined(mask_hw, bboxes, np.concatenate(preds_parts))
 
 
 # jitted step builders are MODULE-LEVEL and cached on their static config:
@@ -306,16 +309,25 @@ class LookTwiceEvaluator:
                 if work:
                     all_crops = [c for _, _, crops in work for c in crops]
                     total = len(all_crops)
-                    nb = _bucket(total)
-                    cbatch = np.zeros((nb, *all_crops[0].shape), np.float32)
-                    cbatch[:total] = np.stack(all_crops)
-                    preds = np.asarray(
-                        self._crop_pass(
-                            self.runner.decoder_params,
-                            self.runner.feature_extractor.params,
-                            cbatch,
+                    # chunk to the largest bucket: unbounded totals would
+                    # compile a fresh backbone shape per new multiple of 16
+                    cap = _CROP_BUCKETS[-1]
+                    preds_parts = []
+                    for s0 in range(0, total, cap):
+                        chunk = all_crops[s0 : s0 + cap]
+                        nb = _bucket(len(chunk))
+                        cbatch = np.zeros((nb, *chunk[0].shape), np.float32)
+                        cbatch[: len(chunk)] = np.stack(chunk)
+                        preds_parts.append(
+                            np.asarray(
+                                self._crop_pass(
+                                    self.runner.decoder_params,
+                                    self.runner.feature_extractor.params,
+                                    cbatch,
+                                )
+                            )[: len(chunk)]
                         )
-                    )[:total]
+                    preds = np.concatenate(preds_parts)
                     off = 0
                     for i, vb, crops in work:
                         k = len(crops)
