@@ -8,8 +8,8 @@ and the key/attention outputs returned functionally instead of via hooks.
 
 from __future__ import annotations
 
+import functools
 import os
-from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -37,6 +37,38 @@ def _candidate_weight_paths(fe_cfg) -> list:
         base = Path(os.path.expanduser(base))
         cands += [base, base / name, base / fe_cfg.backbone.replace("/", "--")]
     return cands
+
+
+@functools.lru_cache(maxsize=16)
+def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
+    """Module-level cached jit builder: extractors are constructed per
+    Runner (one per dataset in scripts/eval.py) and per-instance jit caches
+    would re-trace + re-hit the compilation cache on every dataset."""
+    if want_attn:
+
+        def fwd(params, pixels):
+            out = dino_forward(
+                params,
+                pixels,
+                cfg=config,
+                want_cls_attention=True,
+                compute_dtype=compute_dtype,
+            )
+            return (
+                out["key_tokens"].astype(jnp.float32),
+                out["key_features"].astype(jnp.float32),
+                out["cls_attention"].astype(jnp.float32),
+            )
+
+    else:
+
+        def fwd(params, pixels):
+            out = dino_forward(
+                params, pixels, cfg=config, compute_dtype=compute_dtype
+            )
+            return out["key_features"].astype(jnp.float32)
+
+    return jax.jit(fwd)
 
 
 class FeatureExtractor:
@@ -67,7 +99,6 @@ class FeatureExtractor:
             )
         self.compute_dtype = compute_dtype
         self.params = self._load_params(seed)
-        self._jitted: Dict[Tuple, callable] = {}
 
     def _load_params(self, seed: int):
         for cand in _candidate_weight_paths(self.fe_cfg):
@@ -98,37 +129,7 @@ class FeatureExtractor:
         inside the jit boundary lets XLA dead-code-eliminate everything after
         the last block's key projection (its attention/MLP, the final
         layernorm) on the feature-extraction path."""
-        key = ("fwd", want_attn)
-        if key not in self._jitted:
-            if want_attn:
-
-                def fwd(params, pixels):
-                    out = dino_forward(
-                        params,
-                        pixels,
-                        cfg=self.config,
-                        want_cls_attention=True,
-                        compute_dtype=self.compute_dtype,
-                    )
-                    return (
-                        out["key_tokens"].astype(jnp.float32),
-                        out["key_features"].astype(jnp.float32),
-                        out["cls_attention"].astype(jnp.float32),
-                    )
-
-            else:
-
-                def fwd(params, pixels):
-                    out = dino_forward(
-                        params,
-                        pixels,
-                        cfg=self.config,
-                        compute_dtype=self.compute_dtype,
-                    )
-                    return out["key_features"].astype(jnp.float32)
-
-            self._jitted[key] = jax.jit(fwd)
-        return self._jitted[key]
+        return _make_extract_fn(self.config, self.compute_dtype, want_attn)
 
     def extract(self, images_nhwc: np.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) normalised images -> (B, h, w, hidden) key features."""
