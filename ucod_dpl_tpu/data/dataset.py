@@ -274,9 +274,10 @@ class LRDataset(CODDataset):
         self.logger.log(
             f"Building patch caches for {self.set_cfg.DATASET} ({n} images)"
         )
-        # grid patches are ws^2 per image and m-images are high-res: keep the
-        # device batch comparable to the feature-cache build
-        chunk = max(1, self.cache_build_batch // 2)
+        # each image contributes ws^2 grid patches, so divide by ws^2 to keep
+        # the grid pass's device batch comparable to the feature-cache build
+        # (a tuned-to-fit cache_build_batch must not OOM the stage-2 build)
+        chunk = max(1, self.cache_build_batch // (self.window_size ** 2))
         chunks = [self.image_paths[s : s + chunk] for s in range(0, n, chunk)]
 
         def load_chunk(paths):

@@ -45,9 +45,18 @@ def save_train_state(
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path) + ".orbax", state, force=True)
         ckptr.wait_until_finished()
+        stale = path + ".npz"  # a leftover other-backend file at the same
+        # path would otherwise win the load-time detection with OLD state
+        if os.path.exists(stale):
+            os.unlink(stale)
     elif backend == "npz":
         flat = _flatten_with_paths(state)
         np.savez(path + ".npz", **flat)
+        stale = path + ".orbax"
+        if os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
     with open(path + ".json", "w") as f:
@@ -57,7 +66,12 @@ def save_train_state(
 def load_train_state(path: str, template: Any) -> Tuple[Any, Dict[str, Any]]:
     """Restore a pytree with the same structure as ``template``; the backend
     is auto-detected from what exists at ``path``."""
-    if not os.path.exists(path + ".npz") and os.path.isdir(path + ".orbax"):
+    has_npz = os.path.exists(path + ".npz")
+    has_orbax = os.path.isdir(path + ".orbax")
+    if has_npz and has_orbax:  # both present (e.g. crash between save+unlink)
+        has_npz = os.path.getmtime(path + ".npz") >= os.path.getmtime(path + ".orbax")
+        has_orbax = not has_npz
+    if has_orbax:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()

@@ -49,6 +49,21 @@ def _bucket(n: int) -> int:
     return ((n + _CROP_BUCKETS[-1] - 1) // _CROP_BUCKETS[-1]) * _CROP_BUCKETS[-1]
 
 
+def batched_crop_infer(crops: List[np.ndarray], crop_batch_fn) -> np.ndarray:
+    """Run crop arrays through ``crop_batch_fn`` in bucket-padded chunks of
+    at most the largest bucket — unbounded counts would compile a fresh
+    backbone shape per new size (20-40s each on remote compile)."""
+    cap = _CROP_BUCKETS[-1]
+    parts = []
+    for s0 in range(0, len(crops), cap):
+        chunk = crops[s0 : s0 + cap]
+        nb = _bucket(len(chunk))
+        batch = np.zeros((nb, *chunk[0].shape), dtype=np.float32)
+        batch[: len(chunk)] = np.stack(chunk)
+        parts.append(np.asarray(crop_batch_fn(batch))[: len(chunk)])
+    return np.concatenate(parts)
+
+
 def expand_bbox(
     mask: np.ndarray,
     bbox: Tuple[int, int, int, int],
@@ -162,15 +177,7 @@ def refine_with_crops(
     if not bboxes:
         # nothing to re-look at (the reference loops over an empty list)
         return mask_hw
-    preds_parts = []
-    cap = _CROP_BUCKETS[-1]  # chunk: unbounded counts would compile new shapes
-    for s0 in range(0, len(crops), cap):
-        chunk = crops[s0 : s0 + cap]
-        nb = _bucket(len(chunk))
-        batch = np.zeros((nb, *chunk[0].shape), dtype=np.float32)
-        batch[: len(chunk)] = np.stack(chunk)
-        preds_parts.append(np.asarray(crop_batch_fn(batch))[: len(chunk)])
-    return paste_refined(mask_hw, bboxes, np.concatenate(preds_parts))
+    return paste_refined(mask_hw, bboxes, batched_crop_infer(crops, crop_batch_fn))
 
 
 # jitted step builders are MODULE-LEVEL and cached on their static config:
@@ -308,26 +315,14 @@ class LookTwiceEvaluator:
                         work.append((i, vb, crops))
                 if work:
                     all_crops = [c for _, _, crops in work for c in crops]
-                    total = len(all_crops)
-                    # chunk to the largest bucket: unbounded totals would
-                    # compile a fresh backbone shape per new multiple of 16
-                    cap = _CROP_BUCKETS[-1]
-                    preds_parts = []
-                    for s0 in range(0, total, cap):
-                        chunk = all_crops[s0 : s0 + cap]
-                        nb = _bucket(len(chunk))
-                        cbatch = np.zeros((nb, *chunk[0].shape), np.float32)
-                        cbatch[: len(chunk)] = np.stack(chunk)
-                        preds_parts.append(
-                            np.asarray(
-                                self._crop_pass(
-                                    self.runner.decoder_params,
-                                    self.runner.feature_extractor.params,
-                                    cbatch,
-                                )
-                            )[: len(chunk)]
-                        )
-                    preds = np.concatenate(preds_parts)
+                    preds = batched_crop_infer(
+                        all_crops,
+                        lambda batch: self._crop_pass(
+                            self.runner.decoder_params,
+                            self.runner.feature_extractor.params,
+                            batch,
+                        ),
+                    )
                     off = 0
                     for i, vb, crops in work:
                         k = len(crops)
@@ -348,6 +343,10 @@ class LookTwiceEvaluator:
                         os.path.basename(img_path),
                     )
                     io_futures.append(io_pool.submit(save_binary_mask, pred, out_path))
+                    if len(io_futures) > 256:  # bound the queued-array backlog
+                        for fut in io_futures[:128]:
+                            fut.result()
+                        del io_futures[:128]
             progress.update(n)
 
         pending = None

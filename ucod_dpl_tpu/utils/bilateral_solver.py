@@ -202,7 +202,7 @@ def bilateral_solver_output(
 def apply_bilateral_solver(
     mask: np.ndarray,
     image: np.ndarray,
-    threshold: float = 0.5,
+    iou_threshold: float = 0.5,
     grid_params: Dict = None,
     bs_params: Dict = None,
     get_all_cc: bool = False,
@@ -211,8 +211,10 @@ def apply_bilateral_solver(
 
     Returns (refined_binary_mask, accepted): the refinement is *accepted*
     only when the IoU between the connected-component-selected solver output
-    and the input binarisation exceeds 0.5, matching the reference's gate
-    (misc.py:110-156); callers keep the original mask otherwise.
+    and the input exceeds ``iou_threshold`` — the reference's
+    ``bs_iou_threshold`` gate (misc.py:110-156; both masks binarise at the
+    protocol-fixed 0.5 inside its IoU).  Callers keep the original mask when
+    rejected.
     """
     gp = {**DEFAULT_GRID_PARAMS, **(grid_params or {})}
     mask = np.asarray(mask, dtype=np.float64)
@@ -225,7 +227,7 @@ def apply_bilateral_solver(
         get_all_cc=get_all_cc,
         bs_params=bs_params,
     )
-    accepted = _mask_iou(binary > 0.5, mask > threshold) > 0.5
+    accepted = _mask_iou(binary > 0.5, mask > 0.5) > iou_threshold
     return (binary > 0.5).astype(np.float32), accepted
 
 
@@ -243,12 +245,14 @@ def bbox_iou(box_a, box_b) -> float:
     return inter / union if union else 0.0
 
 
-def batch_apply_bilateral_solver(masks, images, threshold: float = 0.5):
+def batch_apply_bilateral_solver(masks, images, iou_threshold: float = 0.5):
     """Refine a batch of masks, keeping originals where the IoU gate rejects
     (counterpart of misc.batch_apply_bilateral_solver:71-107)."""
     out = []
     for mask, image in zip(masks, images):
-        refined, accepted = apply_bilateral_solver(mask, image, threshold=threshold)
+        refined, accepted = apply_bilateral_solver(
+            mask, image, iou_threshold=iou_threshold
+        )
         out.append(refined if accepted else np.asarray(mask, np.float32))
     return out
 

@@ -25,15 +25,24 @@ _tried = False
 
 
 def _build_so(src: str, so: str) -> bool:
+    """Build to a private temp file then os.replace (atomic): metric-pool
+    workers may all trigger the build concurrently, and a fixed -o target
+    could be dlopen'd half-written or corrupted by interleaved writes."""
+    tmp = f"{so}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, so)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -48,10 +57,6 @@ def _load_so(src: str, so: str) -> Optional[ctypes.CDLL]:
         return ctypes.CDLL(so)
     except OSError:
         return None
-
-
-def _build() -> bool:
-    return _build_so(_SRC_PATH, _SO_PATH)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
