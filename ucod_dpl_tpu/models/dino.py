@@ -292,29 +292,21 @@ def dino_forward(
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
     dtype = compute_dtype
 
-    p = cfg.patch_size
-    if img_h == gh * p and img_w == gw * p:
-        # non-overlapping stride-p conv as reshape + matmul: a (B,H,W,3)
-        # 3-channel conv maps badly onto the MXU (0.83ms at bs16@518px);
-        # the explicit (B*N, p*p*3) @ (p*p*3, D) contraction with a bf16
-        # transpose runs ~3x faster and is bit-equivalent in bf16
-        px = pixels.astype(dtype).reshape(b, gh, p, gw, p, 3)
-        px = px.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * 3)
-        kern = (
-            params["patch_embed"]["kernel"].astype(dtype).reshape(p * p * 3, cfg.hidden_size)
-        )
-        x = _dense(px, {"w": kern, "b": params["patch_embed"]["bias"]}, dtype)
-    else:
-        x = jax.lax.conv_general_dilated(
-            pixels.astype(dtype),
-            params["patch_embed"]["kernel"].astype(dtype),
-            window_strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        x = x + params["patch_embed"]["bias"].astype(dtype)
-        x = x.reshape(b, gh * gw, cfg.hidden_size)
+    # Patch embed stays the XLA conv: with honest (full-output-sum) timing it
+    # measures 0.89ms at bs16@518px vs 1.05-1.24ms for reshape+matmul / 6-D
+    # einsum formulations (the patch transpose dominates them), and Mosaic
+    # rejects the in-kernel relayouts a Pallas version needs.  Roofline is
+    # ~0.2ms — documented headroom, not claimed.
+    x = jax.lax.conv_general_dilated(
+        pixels.astype(dtype),
+        params["patch_embed"]["kernel"].astype(dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    x = x + params["patch_embed"]["bias"].astype(dtype)
+    x = x.reshape(b, gh * gw, cfg.hidden_size)
 
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
