@@ -38,7 +38,9 @@ def main():
     backbone = init_dino(k1, cfg)
     decoder = init_rev_decoder(k2, cfg.hidden_size)
 
-    batch = 16 if on_tpu else 2
+    # bs32 measured fastest per-image (scripts/microbench/bench_batch_sweep.py:
+    # 16 -> 476.8, 24 -> 485.4, 32 -> 487.8, 48 -> 484.6 img/s pre-patch-fix)
+    batch = 32 if on_tpu else 2
     img = 518
 
     def eval_body(backbone_params, decoder_params, pixels):
@@ -49,7 +51,7 @@ def main():
         masks = jax.nn.sigmoid(up) > 0.5
         return jnp.sum(masks.astype(jnp.int32))
 
-    iters = 16 if on_tpu else 2
+    iters = 8 if on_tpu else 2
 
     @jax.jit
     def eval_many(backbone_params, decoder_params, pixels, n):

@@ -292,15 +292,28 @@ def dino_forward(
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
     dtype = compute_dtype
 
-    # Patch embed stays the XLA conv: with honest (full-output-sum) timing it
-    # measures 0.89ms at bs16@518px vs 1.05-1.24ms for reshape+matmul / 6-D
-    # einsum formulations (the patch transpose dominates them), and Mosaic
-    # rejects the in-kernel relayouts a Pallas version needs.  Roofline is
-    # ~0.2ms — documented headroom, not claimed.
+    # Patch embed: the naive 14x14/s14 conv on 3 channels runs far off its
+    # roofline (XLA pads the tiny channel dim; 0.83ms at bs16@518px).  When
+    # the width divides the patch size, the contiguous (W, C) tail reshapes
+    # FREELY to (W/p, p*C) — grouping each patch row's p pixels x C channels
+    # into one 42-lane block — and the patch embed becomes a (p, 1)-kernel
+    # conv over 42 input channels: same math (kernel reshaped to match the
+    # (kw, c) lane order), no host-visible transpose, 0.45ms measured
+    # (scripts/microbench/bench_patch_embed2.py).  Earlier variants
+    # (reshape+matmul, 6-D einsum, Pallas) all lost to the transpose or were
+    # rejected by Mosaic — this one has no transpose to lose to.
+    pe = params["patch_embed"]["kernel"].astype(dtype)
+    px = pixels.astype(dtype)
+    if img_w % cfg.patch_size == 0:
+        px = px.reshape(b, img_h, gw, cfg.patch_size * 3)
+        pe = pe.reshape(cfg.patch_size, 1, cfg.patch_size * 3, cfg.hidden_size)
+        strides = (cfg.patch_size, 1)
+    else:
+        strides = (cfg.patch_size, cfg.patch_size)
     x = jax.lax.conv_general_dilated(
-        pixels.astype(dtype),
-        params["patch_embed"]["kernel"].astype(dtype),
-        window_strides=(cfg.patch_size, cfg.patch_size),
+        px,
+        pe,
+        window_strides=strides,
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,

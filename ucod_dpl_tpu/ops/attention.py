@@ -50,34 +50,47 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+_LOG2E = float(np.log2(np.e))
+
+
 def _attention_kernel_headpair(
     q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float, head_dim: int
 ):
     """Two heads per program: blocks carry 2*head_dim (=128) lanes to satisfy
     the TPU lane-tiling constraint; each head attends independently.
 
-    Measured design choices (bs16 @ 518px, v5e — scripts/bench_attention*.py):
+    Measured design choices (bs16 @ 518px, v5e — scripts/bench_attention*.py
+    and bench_attention5.py):
       * scale folded into q (head_dim cols) instead of the score matrix
         (Lp cols): 22x fewer VPU multiplies;
       * softmax denominator folded into the output (divide (bq, hd), not
         (bq, Lp));
       * both heads' outputs concatenated into ONE 128-lane store (a 64-lane
         sliced store is a masked half-width write);
-    together: 2.04ms -> 1.38ms for the full 12-head call."""
-    col = None
+      * boundary mask as a (1, Lp) 0/-inf row broadcast-ADDED into the score
+        tile (one pass) instead of a full-tile iota+compare+select (three);
+      * log2(e) folded into the q-scale so the softmax runs on exp2 directly
+        (skips the x*log2e multiply inside exp's lowering); exp2(s - m) with
+        m = rowmax keeps exact softmax stability — only bf16-rounding-level
+        deviation (~2e-3) from the q-scale rounding;
+    together: 2.04ms -> 1.38ms (round 2) -> 1.10ms (round 3, -6%) for the
+    full 12-head call."""
+    mask_row = None
     outs = []
+    qscale = scale * _LOG2E
     for h in range(2):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * qscale).astype(q_ref.dtype)
         k = k_ref[0][:, sl]  # (Lp, hd)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if col is None:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < seq_len, s, -jnp.inf)
+        if mask_row is None:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+            mask_row = jnp.where(cols < seq_len, 0.0, -jnp.inf).astype(jnp.float32)
+        s = s + mask_row
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype),
