@@ -26,7 +26,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ucod_dpl_tpu.models.dba import init_rev_decoder, rev_decoder_forward_resized
+    from ucod_dpl_tpu.models.dba import (
+        init_rev_decoder,
+        key_decoupling_fold,
+        rev_decoder_forward_decoupled,
+    )
     from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
     from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
@@ -44,9 +48,15 @@ def main():
     img = 518
 
     def eval_body(backbone_params, decoder_params, pixels):
-        out = dino_forward(backbone_params, pixels, cfg, compute_dtype=compute_dtype)
-        feats = out["key_features"].astype(jnp.float32)
-        fg, _, _ = rev_decoder_forward_resized(decoder_params, feats, 68)
+        # live-inference fast path: the decoder's 1x1 decoupling is folded
+        # into the last layer's key projection (exact composition of two
+        # affine maps — see models/dba.py::key_decoupling_fold)
+        last_k = backbone_params["layers"][-1]["k"]
+        fold = key_decoupling_fold(last_k["w"], last_k["b"], decoder_params)
+        out = dino_forward(
+            backbone_params, pixels, cfg, compute_dtype=compute_dtype, key_fold=fold
+        )
+        fg, _, _ = rev_decoder_forward_decoupled(decoder_params, out["folded_features"], 68)
         up = interpolate_bilinear_nhwc(fg, (img, img))[..., 0]
         masks = jax.nn.sigmoid(up) > 0.5
         return jnp.sum(masks.astype(jnp.int32))

@@ -234,3 +234,106 @@ def test_fused_layernorm_ops_match_composition(monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(q), np.asarray(ref_q), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_f1), np.asarray(ref_f1), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_packed_attention_bf16_shift_softmax():
+    """bf16 inputs take the shift-invariant softmax with bf16 probabilities
+    (the on-TPU hot path, attention.py::_attention_kernel_headpair): must
+    match the f32 XLA reference within bf16 rounding, including rows whose
+    logits sit well away from zero (exercising the constant-shift guard
+    band), and must stay finite."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ucod_dpl_tpu.ops import attention as A
+
+    rng = np.random.default_rng(11)
+    b, l, nh, hd = 2, 150, 4, 64
+    d = nh * hd
+    q = rng.standard_normal((b, l, d)).astype(np.float32)
+    k = rng.standard_normal((b, l, d)).astype(np.float32)
+    v = rng.standard_normal((b, l, d)).astype(np.float32)
+    # push some rows' logits far from zero (|s| ~ 3*8 = 24 natural units,
+    # comparable to real DINOv2 outlier-token logits)
+    q[0, :10] *= 3.0
+    q[1, :10] *= -3.0
+
+    def split(x):
+        return x.reshape(b, l, nh, hd).transpose(0, 2, 1, 3).reshape(b * nh, l, hd)
+
+    ref = A._xla_attention(split(jnp.asarray(q)), split(jnp.asarray(k)),
+                           split(jnp.asarray(v)), scale=0.125)
+    ref = np.asarray(ref).reshape(b, nh, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d)
+
+    qb, kb, vb = (jnp.asarray(x, dtype=jnp.bfloat16) for x in (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(A._pallas_attention_packed(qb, kb, vb, nh, 0.125)).astype(np.float32)
+    assert np.isfinite(ours).all()
+    # bf16 inputs + bf16 probabilities: ~1% relative agreement expected
+    np.testing.assert_allclose(ours, ref, rtol=0.05, atol=0.05)
+
+
+def test_pallas_attention_rowmax_escape_hatch(monkeypatch):
+    """UCOD_ATTN_ROWMAX_SOFTMAX=1 restores the row-max-subtracted softmax and
+    still matches the XLA reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ucod_dpl_tpu.ops import attention as A
+
+    monkeypatch.setenv("UCOD_ATTN_ROWMAX_SOFTMAX", "1")
+    rng = np.random.default_rng(13)
+    b, l, nh, hd = 1, 130, 2, 64
+    d = nh * hd
+    q = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+
+    def split(x):
+        return x.reshape(b, l, nh, hd).transpose(0, 2, 1, 3).reshape(b * nh, l, hd)
+
+    ref = A._xla_attention(split(q), split(k), split(v), scale=0.125)
+    ref = np.asarray(ref).reshape(b, nh, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d)
+    with pltpu.force_tpu_interpret_mode():
+        ours = A._pallas_attention_packed(q, k, v, nh, 0.125)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_key_fold_matches_unfused_eval_path():
+    """dino_forward(key_fold=Wk@Wd) + rev_decoder_forward_decoupled must
+    reproduce the unfused composition (full key projection -> decoupling ->
+    resize -> decoder body) exactly (f32: same maths, different association)."""
+    import jax
+
+    from ucod_dpl_tpu.models.dba import (
+        init_rev_decoder,
+        key_decoupling_fold,
+        rev_decoder_forward_decoupled,
+        rev_decoder_forward_resized,
+    )
+    from ucod_dpl_tpu.models.dino import init_dino
+
+    cfg = DinoConfig(
+        variant="dinov2", image_size=32, patch_size=8, hidden_size=64,
+        num_layers=2, num_heads=4, mlp_ratio=2,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    backbone = init_dino(k1, cfg)
+    decoder = init_rev_decoder(k2, cfg.hidden_size)
+    pixels = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    )
+
+    out = dino_forward(backbone, pixels, cfg)
+    fg_ref, bg_ref, _ = rev_decoder_forward_resized(
+        decoder, out["key_features"], 8, with_loss=False
+    )
+
+    last_k = backbone["layers"][-1]["k"]
+    fold = key_decoupling_fold(last_k["w"], last_k["b"], decoder)
+    out_f = dino_forward(backbone, pixels, cfg, key_fold=fold)
+    assert "last_hidden" not in out_f and "key_tokens" not in out_f
+    assert out_f["folded_features"].shape == (2, 4, 4, 128)
+    fg, bg, _ = rev_decoder_forward_decoupled(
+        decoder, out_f["folded_features"], 8, with_loss=False
+    )
+    np.testing.assert_allclose(np.asarray(fg), np.asarray(fg_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bg), np.asarray(bg_ref), rtol=2e-4, atol=2e-5)

@@ -28,8 +28,7 @@ import numpy as np
 from PIL import Image
 
 from ucod_dpl_tpu.data.transforms import image_transform
-from ucod_dpl_tpu.models.dba import rev_decoder_forward, rev_decoder_forward_resized
-from ucod_dpl_tpu.models.dino import dino_forward
+from ucod_dpl_tpu.models.dba import fg_logits_live, rev_decoder_forward_resized
 from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc, interpolate_bilinear_np
 from ucod_dpl_tpu.utils.components import bounding_rect, connected_components
 from ucod_dpl_tpu.utils.fileio import save_binary_mask
@@ -206,11 +205,11 @@ def _make_first_pass(feature_size: int, img_size: Tuple[int, int]):
 def _make_crop_pass(dino_config, compute_dtype):
     @jax.jit
     def crop_pass(decoder_params, backbone_params, images):
-        out = dino_forward(
-            backbone_params, images, dino_config, compute_dtype=compute_dtype
-        )
-        fg, _, _ = rev_decoder_forward(
-            decoder_params, out["key_features"].astype(jnp.float32), with_loss=False
+        # key-fold fast path: the decoder's 1x1 decoupling folded into the
+        # backbone's last key projection (models/dba.py::fg_logits_live)
+        fg, _, _ = fg_logits_live(
+            backbone_params, decoder_params, images, dino_config,
+            compute_dtype=compute_dtype,
         )
         return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)  # (N, fh, fw)
 

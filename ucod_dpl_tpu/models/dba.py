@@ -122,6 +122,70 @@ def rev_decoder_forward_resized(
     return _decoder_body(params, decoupled, with_loss=with_loss)
 
 
+def key_decoupling_fold(
+    k_w: jnp.ndarray, k_b: jnp.ndarray, params: RevDecoderParams
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-compose the ViT's last-layer key projection with the decoder's
+    1x1 decoupling: both are affine maps over the channel axis, so
+    ``decouple(ln(x) @ Wk + bk) == ln(x) @ (Wk Wd) + (bk Wd + bd)``.
+
+    Feeds :func:`ucod_dpl_tpu.models.dino.dino_forward`'s ``key_fold`` on
+    live-inference paths (bench / LookTwice crop pass / serving): one bf16
+    768->128 matmul replaces the 768->768 key projection + f32 key-map
+    materialisation + separate f32 decoupling einsum."""
+    fw = k_w.astype(jnp.float32) @ params.decoupling_w
+    fb = k_b.astype(jnp.float32) @ params.decoupling_w + params.decoupling_b
+    return fw, fb
+
+
+def rev_decoder_forward_decoupled(
+    params: RevDecoderParams,
+    decoupled: jnp.ndarray,
+    size: int,
+    *,
+    with_loss: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    """Decoder body on an already-decoupled ``(B, h, w, 2E)`` map (the
+    ``folded_features`` output of ``dino_forward(key_fold=...)``),
+    bilinear-resized to ``size`` first (same commute as
+    :func:`rev_decoder_forward_resized`)."""
+    from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
+
+    decoupled = decoupled.astype(jnp.float32)
+    if decoupled.shape[1] != size or decoupled.shape[2] != size:
+        decoupled = interpolate_bilinear_nhwc(decoupled, (size, size))
+    return _decoder_body(params, decoupled, with_loss=with_loss)
+
+
+def fg_logits_live(
+    backbone_params,
+    params: RevDecoderParams,
+    pixels: jnp.ndarray,
+    dino_cfg,
+    *,
+    compute_dtype,
+    size: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
+    """pixels -> decoder logits via the folded live-inference path.
+
+    The DINO forward runs with ``key_fold`` (the decoder's decoupling
+    pre-composed into the last layer's key projection), then the decoder
+    body at ``size`` (``None`` = the native patch grid).  This is the hot
+    composition of bench.py / serving / the LookTwice crop pass; cache-fed
+    paths keep the unfused decoder (cached features are raw 768-dim keys)."""
+    from ucod_dpl_tpu.models.dino import dino_forward
+
+    last_k = backbone_params["layers"][-1]["k"]
+    fold = key_decoupling_fold(last_k["w"], last_k["b"], params)
+    out = dino_forward(
+        backbone_params, pixels, dino_cfg, compute_dtype=compute_dtype, key_fold=fold
+    )
+    dec = out["folded_features"]
+    if size is None:
+        size = dec.shape[1]
+    return rev_decoder_forward_decoupled(params, dec, size)
+
+
 def _decoder_body(
     params: RevDecoderParams, decoupled: jnp.ndarray, *, with_loss: bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:

@@ -272,6 +272,7 @@ def dino_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
     tp_shard: Optional[tuple] = None,  # (Mesh, axis): heads sharded over axis
+    key_fold: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the ViT and return the reference hook contract.
 
@@ -280,14 +281,30 @@ def dino_forward(
       pixels: (B, H, W, 3) normalised image batch, NHWC.
       want_cls_attention: also return last-layer CLS->token attention probs
         (B, num_heads, L) — used by pseudo-label generation.
+      key_fold: optional ``(w, b)`` with ``w: (hidden, F)``, ``b: (F,)``.
+        When given, the LAST layer computes only ``LN1(x) @ w + b`` — the
+        key projection pre-composed with a downstream linear map (e.g. the
+        DBA decoder's 1x1 decoupling: ``w = Wk @ Wd``, ``b = bk @ Wd + bd``)
+        — and the layer's q/v projections, attention, MLP and the final
+        norm are never traced.  This is the live-inference fast path
+        (feature extraction feeding straight into the decoder): one bf16
+        768->F matmul instead of a 768->768 projection + f32 materialised
+        key map + separate decoupling matmul.  Mutually exclusive with
+        ``want_cls_attention`` (which needs the last layer's full q/k).
 
     Returns dict with:
       key_features: (B, h, w, hidden) last block's key projection, CLS
         dropped, reshaped to the patch grid (the reference hook contract,
         ``feature_extractor.py:46-59``);
       key_tokens: (B, 1+N, hidden) raw key projection incl. CLS;
-      cls_attention: present when requested.
+      cls_attention: present when requested;
+      folded_features: (B, h, w, F), only when ``key_fold`` is given (then
+        key_features/key_tokens/last_hidden are absent).
     """
+    assert not (key_fold is not None and want_cls_attention), (
+        "key_fold skips the last layer's q projection; CLS attention "
+        "requires the unfolded forward"
+    )
     b, img_h, img_w, _ = pixels.shape
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
     dtype = compute_dtype
@@ -407,7 +424,14 @@ def dino_forward(
     run_layer = jax.checkpoint(layer_fn, static_argnums=(2,)) if remat else layer_fn
 
     for i, layer in enumerate(params["layers"]):
-        x, aux = run_layer(x, layer, i == n_layers - 1)
+        is_last = i == n_layers - 1
+        if is_last and key_fold is not None:
+            h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
+            fw, fb = key_fold
+            folded = jnp.dot(h, fw.astype(dtype)) + fb.astype(dtype)
+            out["folded_features"] = folded[:, 1:, :].reshape(b, gh, gw, fw.shape[-1])
+            return out
+        x, aux = run_layer(x, layer, is_last)
         if aux:
             out.update(aux)
     if "key_tokens" in out:

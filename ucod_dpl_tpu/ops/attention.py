@@ -53,31 +53,52 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
 _LOG2E = float(np.log2(np.e))
 
 
+_SOFTMAX_SHIFT = 30.0  # log2 units; see shift-invariant softmax note below
+
+
+def _rowmax_softmax() -> bool:
+    """UCOD_ATTN_ROWMAX_SOFTMAX=1 restores the row-max-subtracted softmax
+    (two extra full-tile VPU passes) — a debugging escape hatch for inputs
+    outside the documented logit guard band."""
+    return bool(os.environ.get("UCOD_ATTN_ROWMAX_SOFTMAX"))
+
+
 def _attention_kernel_headpair(
     q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float, head_dim: int
 ):
     """Two heads per program: blocks carry 2*head_dim (=128) lanes to satisfy
     the TPU lane-tiling constraint; each head attends independently.
 
-    Measured design choices (bs16 @ 518px, v5e — scripts/bench_attention*.py
-    and bench_attention5.py):
+    Measured design choices (bs16 @ 518px, v5e — scripts/bench_attention*.py,
+    bench_attention5.py, bench_attention7.py):
       * scale folded into q (head_dim cols) instead of the score matrix
         (Lp cols): 22x fewer VPU multiplies;
       * softmax denominator folded into the output (divide (bq, hd), not
         (bq, Lp));
       * both heads' outputs concatenated into ONE 128-lane store (a 64-lane
         sliced store is a masked half-width write);
-      * boundary mask as a (1, Lp) 0/-inf row broadcast-ADDED into the score
-        tile (one pass) instead of a full-tile iota+compare+select (three);
-      * log2(e) folded into the q-scale so the softmax runs on exp2 directly
-        (skips the x*log2e multiply inside exp's lowering); exp2(s - m) with
-        m = rowmax keeps exact softmax stability — only bf16-rounding-level
-        deviation (~2e-3) from the q-scale rounding;
-    together: 2.04ms -> 1.38ms (round 2) -> 1.10ms (round 3, -6%) for the
-    full 12-head call."""
+      * boundary mask as a (1, Lp) row broadcast-ADDED into the score tile
+        (one pass) instead of a full-tile iota+compare+select (three);
+      * log2(e) folded into the q-scale so the softmax runs on exp2 directly;
+      * shift-invariant softmax: exp2(s - C)/sum(exp2(s - C)) is EXACT for
+        any constant C, so the row-max reduce + subtract passes are replaced
+        by folding C=-30 into the mask row (zero extra ops).  Guard band:
+        overflow needs a scaled logit > 157 log2-units (natural ~109), a
+        zero denominator needs ALL of a row's logits < ~-103 (natural -71);
+        DINOv2-B extremes are ~30 — >2x margin, and a breach is a loud
+        Inf/NaN, never a silent wrong answer.  UCOD_ATTN_ROWMAX_SOFTMAX=1
+        restores the row-max path;
+      * exp2 emitted directly in bf16: the PV matmul consumed bf16 anyway —
+        this removes the separate f32->bf16 full-tile cast pass; the
+        denominator accumulates in f32 (adds ~0.4% relative error, the same
+        order as the pre-existing bf16 PV rounding).
+    together: 2.04ms -> 1.38ms (round 2) -> 1.10ms (round 3) -> 0.98ms
+    (round 4) for the full 12-head call — at the 50%-MXU-utilisation floor
+    set by head_dim 64."""
     mask_row = None
     outs = []
     qscale = scale * _LOG2E
+    rowmax = _rowmax_softmax()
     for h in range(2):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = (q_ref[0][:, sl].astype(jnp.float32) * qscale).astype(q_ref.dtype)
@@ -87,11 +108,15 @@ def _attention_kernel_headpair(
         )
         if mask_row is None:
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-            mask_row = jnp.where(cols < seq_len, 0.0, -jnp.inf).astype(jnp.float32)
+            valid = 0.0 if rowmax else -_SOFTMAX_SHIFT
+            mask_row = jnp.where(cols < seq_len, valid, -jnp.inf).astype(jnp.float32)
         s = s + mask_row
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if rowmax:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+        else:
+            p = jnp.exp2(s).astype(v_ref.dtype)
+        denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype),
             v_ref[0][:, sl],

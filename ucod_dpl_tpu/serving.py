@@ -24,12 +24,7 @@ import numpy as np
 
 from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
 from ucod_dpl_tpu.data.transforms import image_transform
-from ucod_dpl_tpu.models.dba import (
-    RevDecoderParams,
-    rev_decoder_forward,
-    rev_decoder_forward_resized,
-)
-from ucod_dpl_tpu.models.dino import dino_forward
+from ucod_dpl_tpu.models.dba import RevDecoderParams, fg_logits_live
 from ucod_dpl_tpu.models.safetensors_io import load_decoder_checkpoint
 from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc, interpolate_bilinear_np
 from ucod_dpl_tpu.utils.fileio import ImageIO
@@ -60,11 +55,12 @@ class Predictor:
 
         @jax.jit
         def pixels_to_probs(backbone_params, decoder_params, pixels):
-            out = dino_forward(
-                backbone_params, pixels, self.fe.config, compute_dtype=self.fe.compute_dtype
+            # key-fold fast path: decoupling folded into the last layer's
+            # key projection (models/dba.py::fg_logits_live)
+            fg, _, _ = fg_logits_live(
+                backbone_params, decoder_params, pixels, self.fe.config,
+                compute_dtype=self.fe.compute_dtype, size=fs,
             )
-            feats = out["key_features"].astype(jnp.float32)
-            fg, _, _ = rev_decoder_forward_resized(decoder_params, feats, fs)
             up = interpolate_bilinear_nhwc(fg, self.image_size)[..., 0]
             return jax.nn.sigmoid(up)
 
@@ -78,11 +74,9 @@ class Predictor:
         def crop_pass(backbone_params, decoder_params, pixels):
             # LookTwice second pass: masks at the crop's key-feature
             # resolution, matching the eval loop (loop_UCOD_DPL.py:343-348)
-            out = dino_forward(
-                backbone_params, pixels, self.fe.config, compute_dtype=self.fe.compute_dtype
-            )
-            fg, _, _ = rev_decoder_forward(
-                decoder_params, out["key_features"].astype(jnp.float32), with_loss=False
+            fg, _, _ = fg_logits_live(
+                backbone_params, decoder_params, pixels, self.fe.config,
+                compute_dtype=self.fe.compute_dtype,
             )
             return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)
 
