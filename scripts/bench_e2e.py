@@ -78,6 +78,15 @@ def main():
                 "patch_size": 14, "image_size": 518,
             }
 
+        # warm the extractor program first (same config+shape as the cache
+        # build) so t_build measures steady-state throughput, not the
+        # one-time XLA compile (~80s over axon remote compile, ~30s local)
+        from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+
+        fe_warm = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg)
+        size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
+        fe_warm.extract(np.zeros((8, *size, 3), np.float32))
+
         t0 = time.perf_counter()
         runner = Runner(cfg, mode="eval")  # builds the feature cache
         t_build = time.perf_counter() - t0

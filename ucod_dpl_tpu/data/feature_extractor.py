@@ -44,6 +44,12 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
     """Module-level cached jit builder: extractors are constructed per
     Runner (one per dataset in scripts/eval.py) and per-instance jit caches
     would re-trace + re-hit the compilation cache on every dataset."""
+    # Outputs stay in the COMPUTE dtype on the wire: on TPU the key
+    # projection's bf16 epilogue means the f32 values are exact upcasts of
+    # bf16 — casting on device would double the device-to-host bytes for
+    # zero information.  (The axon dev tunnel moves ~18 MB/s D2H, where a
+    # bs16@518 f32 key map is 84 MB; real PCIe hosts don't care, but halving
+    # exact-redundant transfer is free everywhere.)  Hosts upcast to f32.
     if want_attn:
 
         def fwd(params, pixels):
@@ -55,8 +61,8 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
                 compute_dtype=compute_dtype,
             )
             return (
-                out["key_tokens"].astype(jnp.float32),
-                out["key_features"].astype(jnp.float32),
+                out["key_tokens"],
+                out["key_features"],
                 out["cls_attention"].astype(jnp.float32),
             )
 
@@ -66,7 +72,7 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
             out = dino_forward(
                 params, pixels, cfg=config, compute_dtype=compute_dtype
             )
-            return out["key_features"].astype(jnp.float32)
+            return out["key_features"]
 
     return jax.jit(fwd)
 
@@ -131,13 +137,21 @@ class FeatureExtractor:
         layernorm) on the feature-extraction path."""
         return _make_extract_fn(self.config, self.compute_dtype, want_attn)
 
-    def extract(self, images_nhwc: np.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) normalised images -> (B, h, w, hidden) key features."""
-        return self._forward(False)(self.params, jnp.asarray(images_nhwc))
+    def extract(self, images_nhwc: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) normalised images -> (B, h, w, hidden) float32 key
+        features on host (transferred in the compute dtype — exact, see
+        :func:`_make_extract_fn`)."""
+        out = self._forward(False)(self.params, jnp.asarray(images_nhwc))
+        return np.asarray(out).astype(np.float32, copy=False)
 
     def extract_with_attention(
         self, images_nhwc: np.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (key_tokens (B,1+N,C), key_features NHWC, cls_attention
-        (B, nh, 1+N)) — the pseudo-label generator contract."""
-        return self._forward(True)(self.params, jnp.asarray(images_nhwc))
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns host float32 (key_tokens (B,1+N,C), key_features NHWC,
+        cls_attention (B, nh, 1+N)) — the pseudo-label generator contract."""
+        toks, feats, attn = self._forward(True)(self.params, jnp.asarray(images_nhwc))
+        return (
+            np.asarray(toks).astype(np.float32, copy=False),
+            np.asarray(feats).astype(np.float32, copy=False),
+            np.asarray(attn),
+        )
