@@ -26,12 +26,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ucod_dpl_tpu.models.dba import (
-        init_rev_decoder,
-        key_decoupling_fold,
-        rev_decoder_forward_decoupled,
-    )
-    from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
+    from ucod_dpl_tpu.models.dba import fg_logits_live, init_rev_decoder
+    from ucod_dpl_tpu.models.dino import DinoConfig, init_dino
     from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
     cfg = DinoConfig.dinov2_base()
@@ -42,21 +38,19 @@ def main():
     backbone = init_dino(k1, cfg)
     decoder = init_rev_decoder(k2, cfg.hidden_size)
 
-    # bs32 measured fastest per-image (scripts/microbench/bench_batch_sweep.py:
-    # 16 -> 476.8, 24 -> 485.4, 32 -> 487.8, 48 -> 484.6 img/s pre-patch-fix)
+    # bs32 measured fastest per-image (scripts/microbench/bench_batch_sweep2.py,
+    # post-key-fold: 24 -> 493, 32 -> 497, 40 -> 495, 48 -> 491 img/s)
     batch = 32 if on_tpu else 2
     img = 518
 
     def eval_body(backbone_params, decoder_params, pixels):
-        # live-inference fast path: the decoder's 1x1 decoupling is folded
-        # into the last layer's key projection (exact composition of two
-        # affine maps — see models/dba.py::key_decoupling_fold)
-        last_k = backbone_params["layers"][-1]["k"]
-        fold = key_decoupling_fold(last_k["w"], last_k["b"], decoder_params)
-        out = dino_forward(
-            backbone_params, pixels, cfg, compute_dtype=compute_dtype, key_fold=fold
+        # the exact live-inference composition serving/eval run: key-fold
+        # fast path (decoupling folded into the last key projection — see
+        # models/dba.py::fg_logits_live), decoder body at 68, mask upsample
+        fg, _, _ = fg_logits_live(
+            backbone_params, decoder_params, pixels, cfg,
+            compute_dtype=compute_dtype, size=68,
         )
-        fg, _, _ = rev_decoder_forward_decoupled(decoder_params, out["folded_features"], 68)
         up = interpolate_bilinear_nhwc(fg, (img, img))[..., 0]
         masks = jax.nn.sigmoid(up) > 0.5
         return jnp.sum(masks.astype(jnp.int32))

@@ -78,13 +78,25 @@ def main():
                 "patch_size": 14, "image_size": 518,
             }
 
-        # warm the extractor program first (same config+shape as the cache
-        # build) so t_build measures steady-state throughput, not the
-        # one-time XLA compile (~80s over axon remote compile, ~30s local)
+        # warm the extractor program first (same config+dtype+shape as the
+        # cache build — mirroring Runner's tpu_cfg.compute_dtype resolution,
+        # engine/runner.py) so t_build measures steady-state throughput, not
+        # the one-time XLA compile (~80s over axon remote compile, ~30s local)
+        import jax.numpy as jnp
+
         from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
 
-        fe_warm = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg)
+        dtype_name = cfg.get("tpu_cfg", {}).get("compute_dtype")
+        warm_dtype = (
+            (jnp.bfloat16 if dtype_name == "bfloat16" else jnp.dtype(dtype_name))
+            if dtype_name
+            else None
+        )
+        fe_warm = FeatureExtractor(
+            cfg.dataset_cfg.feature_extractor_cfg, compute_dtype=warm_dtype
+        )
         size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
+        # 8 = the Dataset cache_build_batch default (data/dataset.py)
         fe_warm.extract(np.zeros((8, *size, 3), np.float32))
 
         t0 = time.perf_counter()

@@ -57,7 +57,7 @@ def full_gt0(bb, dec, pixels):
     return jnp.sum((up > 0).astype(jnp.int32))
 
 
-def timed(body, red=jnp.float32):
+def timed(body):
     @jax.jit
     def many(bb, dec, pixels, n):
         def step(i, acc):

@@ -337,3 +337,31 @@ def test_key_fold_matches_unfused_eval_path():
     )
     np.testing.assert_allclose(np.asarray(fg), np.asarray(fg_ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(bg), np.asarray(bg_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_fg_logits_live_non_square_native_grid():
+    """size=None must keep the native (gh, gw) grid — non-square inputs
+    (serving Predictor with rectangular image_size feeds the LookTwice crop
+    pass) must not be silently resized square."""
+    import jax
+
+    from ucod_dpl_tpu.models.dba import fg_logits_live, init_rev_decoder, rev_decoder_forward
+    from ucod_dpl_tpu.models.dino import init_dino
+
+    cfg = DinoConfig(
+        variant="dinov2", image_size=32, patch_size=8, hidden_size=64,
+        num_layers=2, num_heads=4, mlp_ratio=2,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    backbone = init_dino(k1, cfg)
+    decoder = init_rev_decoder(k2, cfg.hidden_size)
+    pixels = jnp.asarray(
+        np.random.default_rng(8).standard_normal((2, 24, 40, 3)).astype(np.float32)
+    )  # grid (3, 5)
+
+    fg, bg, _ = fg_logits_live(backbone, decoder, pixels, cfg, compute_dtype=jnp.float32)
+    assert fg.shape == (2, 3, 5, 1)
+
+    out = dino_forward(backbone, pixels, cfg)
+    fg_ref, _, _ = rev_decoder_forward(decoder, out["key_features"], with_loss=False)
+    np.testing.assert_allclose(np.asarray(fg), np.asarray(fg_ref), rtol=2e-4, atol=2e-5)

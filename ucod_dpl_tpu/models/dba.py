@@ -141,18 +141,19 @@ def key_decoupling_fold(
 def rev_decoder_forward_decoupled(
     params: RevDecoderParams,
     decoupled: jnp.ndarray,
-    size: int,
+    size: int | None,
     *,
     with_loss: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """Decoder body on an already-decoupled ``(B, h, w, 2E)`` map (the
     ``folded_features`` output of ``dino_forward(key_fold=...)``),
-    bilinear-resized to ``size`` first (same commute as
-    :func:`rev_decoder_forward_resized`)."""
+    bilinear-resized to ``(size, size)`` first (same commute as
+    :func:`rev_decoder_forward_resized`).  ``size=None`` keeps the native
+    (possibly non-square) grid — the ``rev_decoder_forward`` behaviour."""
     from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
     decoupled = decoupled.astype(jnp.float32)
-    if decoupled.shape[1] != size or decoupled.shape[2] != size:
+    if size is not None and (decoupled.shape[1] != size or decoupled.shape[2] != size):
         decoupled = interpolate_bilinear_nhwc(decoupled, (size, size))
     return _decoder_body(params, decoupled, with_loss=with_loss)
 
@@ -180,10 +181,7 @@ def fg_logits_live(
     out = dino_forward(
         backbone_params, pixels, dino_cfg, compute_dtype=compute_dtype, key_fold=fold
     )
-    dec = out["folded_features"]
-    if size is None:
-        size = dec.shape[1]
-    return rev_decoder_forward_decoupled(params, dec, size)
+    return rev_decoder_forward_decoupled(params, out["folded_features"], size)
 
 
 def _decoder_body(

@@ -56,11 +56,16 @@ _LOG2E = float(np.log2(np.e))
 _SOFTMAX_SHIFT = 30.0  # log2 units; see shift-invariant softmax note below
 
 
+def _env_flag(name: str) -> bool:
+    """Boolean env flag: unset, empty, '0', 'false'/'no' (any case) are off."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+
+
 def _rowmax_softmax() -> bool:
     """UCOD_ATTN_ROWMAX_SOFTMAX=1 restores the row-max-subtracted softmax
     (two extra full-tile VPU passes) — a debugging escape hatch for inputs
     outside the documented logit guard band."""
-    return bool(os.environ.get("UCOD_ATTN_ROWMAX_SOFTMAX"))
+    return _env_flag("UCOD_ATTN_ROWMAX_SOFTMAX")
 
 
 def _attention_kernel_headpair(
@@ -254,7 +259,7 @@ def _interpret() -> bool:
     """UCOD_PALLAS_INTERPRET=1 runs the kernels through the Pallas
     interpreter on any backend — used by the multi-chip dryrun to exercise
     the exact kernel path per shard_map shard without TPU hardware."""
-    return bool(os.environ.get("UCOD_PALLAS_INTERPRET"))
+    return _env_flag("UCOD_PALLAS_INTERPRET")
 
 
 _DIFFERENTIABLE_DEPTH = 0
@@ -283,7 +288,7 @@ class differentiable_mode:
 def use_pallas() -> bool:
     if _DIFFERENTIABLE_DEPTH > 0:
         return False  # kernels have no VJP; see differentiable_mode
-    if os.environ.get("UCOD_DISABLE_PALLAS"):
+    if _env_flag("UCOD_DISABLE_PALLAS"):
         return False
     if _interpret():
         return True
