@@ -73,7 +73,25 @@ def main():
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(rng.standard_normal((batch, img, img, 3)).astype(np.float32))
 
-    # warmup / compile (scalar readback = real synchronisation)
+    # warmup / compile (scalar readback = real synchronisation), plus an
+    # on-hardware numerics guard: the composed program must produce FINITE
+    # logits.  A silent NaN forward times identically to a correct one —
+    # this caught a real bug (garbage in XLA tile padding beyond seq_len
+    # turning the kernel's additive boundary mask into NaN, round 4) that
+    # no CPU/interpret-mode test can see.
+    def logits_small(backbone_params, decoder_params, px2):
+        fg, _, _ = fg_logits_live(
+            backbone_params, decoder_params, px2, cfg,
+            compute_dtype=compute_dtype, size=68,
+        )
+        return jnp.sum(jnp.isfinite(fg)), fg.size
+
+    finite, total = jax.jit(logits_small)(backbone, decoder, pixels[:2])
+    assert int(finite) == int(total), (
+        f"NON-FINITE decoder logits on {jax.default_backend()}: "
+        f"{int(total) - int(finite)}/{int(total)} bad — refusing to bench a broken forward"
+    )
+
     int(eval_many(backbone, decoder, pixels, 1))
 
     # tunneled chips show large run-to-run timing noise (host RTT spikes,

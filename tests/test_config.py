@@ -89,3 +89,18 @@ def test_yaml_dump_roundtrip(tmp_path):
     cfg.dump_yaml(str(out))
     reloaded = load_config(str(out))
     assert reloaded.to_dict() == cfg.to_dict()
+
+
+def test_merge_from_list_rejects_unknown_keys():
+    """A typo'd override must raise (reference merge_from_list asserts
+    'Non-existent key', config.py:289-298), not silently create a dead key."""
+    import pytest
+
+    cfg = CfgNode({"dataset_cfg": {"trainloader_cfg": {"batch_size": 16}}})
+    with pytest.raises(KeyError, match="Non-existent config key"):
+        cfg.merge_from_list(["dataset_cfg.train_loader_cfg.batch_size", "2"])
+    with pytest.raises(KeyError, match="Non-existent config key"):
+        cfg.merge_from_list(["dataset_cfg.trainloader_cfg.batchsize", "2"])
+    # allow_new restores create-on-miss for programmatic construction
+    cfg.merge_from_list(["dataset_cfg.new_key", "7"], allow_new=True)
+    assert cfg.dataset_cfg.new_key == 7

@@ -365,3 +365,53 @@ def test_fg_logits_live_non_square_native_grid():
     out = dino_forward(backbone, pixels, cfg)
     fg_ref, _, _ = rev_decoder_forward(decoder, out["key_features"], with_loss=False)
     np.testing.assert_allclose(np.asarray(fg), np.asarray(fg_ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("garbage", [np.inf, np.nan, 3e38])
+def test_pallas_attention_garbage_tail_rows(garbage):
+    """Composed XLA programs leave GARBAGE (Inf/NaN/huge) in the physical
+    tile padding beyond seq_len; the kernels must produce finite, correct
+    outputs regardless (round-4 regression: the additive mask row turned
+    Inf-tail scores into NaN denominators — every TPU forward was silently
+    all-NaN while host-fed standalone tests passed on zeroed pads)."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ucod_dpl_tpu.ops import attention as A
+
+    b, seq_len, lp, nh, hd = 1, 200, 256, 2, 64
+    d = nh * hd
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((b, lp, d)).astype(np.float32)
+    k = rng.standard_normal((b, lp, d)).astype(np.float32)
+    v = rng.standard_normal((b, lp, d)).astype(np.float32)
+    for arr in (q, k, v):
+        arr[:, seq_len:, :] = garbage  # simulated tile-padding garbage
+
+    ref = A._xla_attention(
+        *(x[:, :seq_len].reshape(b, seq_len, nh, hd).transpose(0, 2, 1, 3).reshape(b * nh, seq_len, hd)
+          for x in (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))),
+        scale=0.125,
+    )
+    ref = np.asarray(ref).reshape(b, nh, seq_len, hd).transpose(0, 2, 1, 3).reshape(b, seq_len, d)
+
+    out = pl.pallas_call(
+        functools.partial(
+            A._attention_kernel_headpair, seq_len=seq_len, scale=0.125, head_dim=hd
+        ),
+        grid=(b, nh // 2, 1),
+        in_specs=[
+            pl.BlockSpec((1, lp, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec(
+            (1, lp, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    valid = np.asarray(out)[:, :seq_len, :]
+    assert np.isfinite(valid).all(), "garbage tail leaked into valid rows"
+    np.testing.assert_allclose(valid, ref, rtol=1e-5, atol=1e-5)

@@ -261,3 +261,18 @@ def test_train_e2e_tiny(tmp_path):
     runner2 = Runner(cfg2, mode="train")
     runner2.launch_train()
     assert np.all(np.isfinite(np.asarray(runner2.decoder_params.decoupling_w)))
+
+
+def test_empty_train_dataloader_raises(tmp_path):
+    """batch_size > dataset size with drop_last must fail LOUDLY at runner
+    construction — not silently train zero steps per epoch."""
+    import pytest
+
+    from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg
+    from ucod_dpl_tpu.engine import Runner
+
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=2)
+    cfg = _tiny_cfg(tmp_path)
+    cfg.dataset_cfg.trainloader_cfg.batch_size = 16  # > 2 samples
+    with pytest.raises(ValueError, match="Train dataloader is empty"):
+        Runner(cfg, mode="train")

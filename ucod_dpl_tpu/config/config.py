@@ -95,8 +95,17 @@ class CfgNode(dict):
                 self[k] = _wrap(copy.deepcopy(v))
         return self
 
-    def merge_from_list(self, opts: Iterable[str]) -> "CfgNode":
-        """Merge dotted-key/value pairs, e.g. ["train_cfg.lr0", "1e-3"]."""
+    def merge_from_list(
+        self, opts: Iterable[str], allow_new: bool = False
+    ) -> "CfgNode":
+        """Merge dotted-key/value pairs, e.g. ["train_cfg.lr0", "1e-3"].
+
+        Unknown keys RAISE (the reference's merge_from_list asserts
+        "Non-existent key", config.py:289-298) — a typo'd override silently
+        creating a dead key (e.g. ``train_loader_cfg`` vs the real
+        ``trainloader_cfg``) otherwise leaves the run on defaults with no
+        indication.  ``allow_new=True`` restores the create-on-miss
+        behaviour for programmatic construction."""
         opts = list(opts)
         if len(opts) % 2 != 0:
             raise ValueError(f"Override list must have even length, got {opts}")
@@ -105,11 +114,21 @@ class CfgNode(dict):
             node = self
             for k in keys[:-1]:
                 if k not in node:
+                    if not allow_new:
+                        raise KeyError(
+                            f"Non-existent config key: '{dotted}' ('{k}' not found; "
+                            f"available: {sorted(node.keys())})"
+                        )
                     node[k] = CfgNode()
                 node = node[k]
                 if not isinstance(node, CfgNode):
                     raise KeyError(f"Cannot descend into non-dict key '{k}' of '{dotted}'")
             leaf = keys[-1]
+            if leaf not in node and not allow_new:
+                raise KeyError(
+                    f"Non-existent config key: '{dotted}' "
+                    f"(available: {sorted(node.keys())})"
+                )
             old = node.get(leaf, None)
             node[leaf] = _coerce(raw, old)
         return self

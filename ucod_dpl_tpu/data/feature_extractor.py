@@ -142,7 +142,17 @@ class FeatureExtractor:
         features on host (transferred in the compute dtype — exact, see
         :func:`_make_extract_fn`)."""
         out = self._forward(False)(self.params, jnp.asarray(images_nhwc))
-        return np.asarray(out).astype(np.float32, copy=False)
+        feats = np.asarray(out).astype(np.float32, copy=False)
+        if not np.isfinite(feats).all():
+            # A non-finite backbone forward poisons every downstream cache
+            # and silently evaluates as all-background masks — fail loudly
+            # (cost: one vectorised host pass, ~1% of the transfer time).
+            raise FloatingPointError(
+                f"DINO forward produced non-finite features "
+                f"({(~np.isfinite(feats)).sum()}/{feats.size} bad) on "
+                f"{jax.default_backend()} — kernel or numerics regression."
+            )
+        return feats
 
     def extract_with_attention(
         self, images_nhwc: np.ndarray

@@ -137,6 +137,13 @@ class Runner:
                 drop_last=True,
                 shard=shard,
             )
+            if len(self.train_dataloader) == 0:
+                raise ValueError(
+                    f"Train dataloader is empty: {len(self.train_dataset)} sample(s) "
+                    f"with batch_size={tl.get('batch_size', 16)} and drop_last — "
+                    "training would silently run zero steps. Lower "
+                    "dataset_cfg.trainloader_cfg.batch_size or add data."
+                )
         valset_cfg = dc.valset_cfg
         keep_size = valset_cfg.get("keep_size", self.mode != "train")
         # cache-path mode is "test": the reference's val loaders are built

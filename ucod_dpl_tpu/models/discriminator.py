@@ -51,14 +51,41 @@ def _init_conv_block(key, k: int, c_in: int, c_out: int):
 def _conv_block(
     params: Dict[str, Any], stats: Dict[str, Any], x: jnp.ndarray, stride: int
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    y = jax.lax.conv_general_dilated(
-        x,
-        params["conv_w"],
-        window_strides=(stride, stride),
-        padding=((1, 1), (1, 1)),
-        dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # im2col patches + matmul instead of lax.conv for narrow layers:
+    # differentiating a direct conv w.r.t. its WEIGHTS emits a
+    # backprop-filter convolution that hard-crashes XLA:TPU's
+    # space-to-batch pass at small batch sizes ("Check failed:
+    # PropagateOnBackpropFilterConv ... Operands to select must be the same
+    # shape", space_to_batch_converter.cc) — seen with bs=2 at 68x68.  With
+    # patches the weights live in a plain matmul, whose gradient is another
+    # matmul; the patch extraction itself uses an identity kernel the
+    # filter-gradient never touches.  The shipped configs' discriminator is
+    # mask-only (<=64ch), where the 9x patch materialisation is irrelevant;
+    # the optional 768-ch feature branch (dis_use_features) keeps the direct
+    # conv — its 9x patches would cost ~GBs, and space-to-batch skips wide-
+    # channel convs anyway.
+    kh, kw, c_in, c_out = params["conv_w"].shape
+    if c_in * kh * kw <= 1024:
+        patches = jax.lax.conv_general_dilated_patches(
+            x,
+            filter_shape=(kh, kw),
+            window_strides=(stride, stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=_DN,
+        )  # (B, H', W', c_in*kh*kw), channel-major patch order
+        w_mat = params["conv_w"].transpose(2, 0, 1, 3).reshape(c_in * kh * kw, c_out)
+        y = jnp.einsum(
+            "bhwp,pc->bhwc", patches, w_mat, precision=jax.lax.Precision.HIGHEST
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            params["conv_w"],
+            window_strides=(stride, stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=_DN,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     # batch statistics over (B, H, W), biased variance (torch train-mode BN)
     mean = jnp.mean(y, axis=(0, 1, 2))
     var = jnp.mean((y - mean) ** 2, axis=(0, 1, 2))

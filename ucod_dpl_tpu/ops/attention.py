@@ -32,6 +32,17 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
     # bf16 rate; accumulation is f32 via preferred_element_type.
     q = q_ref[0]  # (bq, d)
     k = k_ref[0]  # (Lp, d)
+    v = v_ref[0]
+    lp = k.shape[0]
+    if lp != seq_len:
+        # V tail rows beyond seq_len hold garbage when composed with
+        # on-device producers (XLA tile padding — see the headpair kernel
+        # note); 0 * Inf = NaN would contaminate the PV accumulation even
+        # though their softmax weight is exactly 0.  The score-side garbage
+        # is already handled by the SELECT mask below (where() replaces
+        # masked lanes regardless of value).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), 0)
+        v = jnp.where(rows < seq_len, v, jnp.zeros((), v.dtype))
     s = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -42,8 +53,8 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
     s = jnp.where(col < seq_len, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     o = jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[0],
+        p.astype(v.dtype),
+        v,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -104,10 +115,30 @@ def _attention_kernel_headpair(
     outs = []
     qscale = scale * _LOG2E
     rowmax = _rowmax_softmax()
+    lp = k_ref.shape[1]
+    # Sanitise the K/V tail rows (seq_len..Lp): when the kernel composes
+    # with on-device producers, XLA leaves GARBAGE (arbitrary bf16 bit
+    # patterns, including +-Inf/NaN) in the physical tile padding beyond
+    # seq_len — it only materialises rows it computed.  A garbage K column
+    # makes s = +-Inf there, and Inf + (-inf mask) = NaN, which the
+    # denominator sum then spreads across the whole row; garbage V rows
+    # similarly feed 0 * Inf = NaN into PV.  Zeroing the tails (one cheap
+    # (Lp, 128) select each — 1.5% the size of a score-tile pass) keeps the
+    # additive mask row exact: s_tail = 0, 0 + (-inf) = -inf, exp2 -> 0.
+    # (Standalone host-fed inputs have zeroed pads, which is why only
+    # composed programs ever saw this.)
+    kv_valid = None
+    if lp != seq_len:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), 0)
+        kv_valid = rows < seq_len
     for h in range(2):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = (q_ref[0][:, sl].astype(jnp.float32) * qscale).astype(q_ref.dtype)
         k = k_ref[0][:, sl]  # (Lp, hd)
+        v = v_ref[0][:, sl]
+        if kv_valid is not None:
+            k = jnp.where(kv_valid, k, jnp.zeros((), k.dtype))
+            v = jnp.where(kv_valid, v, jnp.zeros((), v.dtype))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -124,7 +155,7 @@ def _attention_kernel_headpair(
         denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         o = jax.lax.dot_general(
             p.astype(v_ref.dtype),
-            v_ref[0][:, sl],
+            v,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
