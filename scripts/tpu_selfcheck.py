@@ -1,0 +1,140 @@
+"""One-command on-hardware numerics self-check.
+
+Runs the battery of checks that caught the round-4 silent-NaN bug, so any
+kernel/numerics regression on REAL TPU hardware is one command to detect
+(CPU/interpret tests cannot see composition-level issues like garbage in
+XLA tile padding):
+
+  1. composed backbone forward (Pallas kernels) is finite and agrees with
+     the XLA fallback within bf16 accumulation tolerance;
+  2. the standalone packed attention kernel matches XLA;
+  3. the live fg_logits_live path (key-fold) is finite;
+  4. one stage-1 train step on random data yields a finite loss;
+  5. host<->device transfer sanity (finite after round-trip).
+
+Exit code 0 = all checks pass.  ~3-4 min on a fresh process (compiles);
+seconds when the compile cache is warm.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ucod_dpl_tpu.models.dba import fg_logits_live, init_rev_decoder
+    from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
+    from ucod_dpl_tpu.ops import attention as A
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    print(f"backend={backend} compute_dtype={dtype.__name__}")
+    cfg = DinoConfig.dinov2_base()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    backbone = init_dino(k1, cfg)
+    decoder = init_rev_decoder(k2, cfg.hidden_size)
+    px = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 518, 518, 3)).astype(np.float32)
+    )
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+        if not ok:
+            failures.append(name)
+
+    # 1. composed forward: pallas vs XLA
+    t0 = time.perf_counter()
+    a = np.asarray(
+        jax.jit(lambda p, x: dino_forward(p, x, cfg, compute_dtype=dtype)["key_features"])(
+            backbone, px
+        )
+    ).astype(np.float32)
+    os.environ["UCOD_DISABLE_PALLAS"] = "1"
+    b = np.asarray(
+        jax.jit(lambda p, x: dino_forward(p, x, cfg, compute_dtype=dtype)["key_features"])(
+            backbone, px
+        )
+    ).astype(np.float32)
+    del os.environ["UCOD_DISABLE_PALLAS"]
+    finite = np.isfinite(a).all()
+    rel = float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)) if finite else float("inf")
+    check(
+        "composed forward finite + matches XLA",
+        bool(finite) and rel < 0.05,
+        f"rel_diff={rel:.4f} ({time.perf_counter()-t0:.0f}s)",
+    )
+
+    # 2. standalone packed kernel vs XLA
+    rng = np.random.default_rng(1)
+    L, nh, hd = 1370, 12, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, L, nh * hd)).astype(np.float32), dtype=dtype)
+        for _ in range(3)
+    )
+    def split(t):
+        return t.reshape(2, L, nh, hd).transpose(0, 2, 1, 3).reshape(2 * nh, L, hd)
+    out = np.asarray(A.multi_head_attention(q, k, v, nh, scale=0.125)).astype(np.float32)
+    ref = np.asarray(A._xla_attention(split(q), split(k), split(v), 0.125)).astype(np.float32)
+    ref = ref.reshape(2, nh, L, hd).transpose(0, 2, 1, 3).reshape(2, L, nh * hd)
+    d = float(np.max(np.abs(out - ref)))
+    check("packed attention kernel vs XLA", np.isfinite(out).all() and d < 0.02, f"maxdiff={d:.4f}")
+
+    # 3. live key-fold path
+    fg, _, _ = jax.jit(
+        lambda bb, dec, x: fg_logits_live(bb, dec, x, cfg, compute_dtype=dtype, size=68)
+    )(backbone, decoder, px)
+    fg = np.asarray(fg)
+    check("fg_logits_live finite", bool(np.isfinite(fg).all()), f"max|fg|={np.abs(fg).max():.2f}")
+
+    # 4. one train step
+    try:
+        import optax
+
+        from ucod_dpl_tpu.config import CfgNode
+        from ucod_dpl_tpu.engine.train_step import TrainState, make_train_step
+        from ucod_dpl_tpu.models.discriminator import init_discriminator
+
+        tcfg = CfgNode(
+            {
+                "model_cfg": {"feature_size": 68, "ema_weight": 0.99, "dim": 768},
+                "train_cfg": {"max_epoch": 25, "start_finetune": -5, "merge_method": "dis"},
+            }
+        )
+        opt = optax.adamw(2e-4)
+        dis_p, dis_s = init_discriminator(jax.random.PRNGKey(3))
+        state = TrainState(
+            decoder=decoder,
+            decoder_ema=init_rev_decoder(jax.random.PRNGKey(4), 768),
+            dis_params=dis_p,
+            dis_stats=dis_s,
+            opt_state=opt.init(decoder),
+            dis_opt_state=None,
+            ema_step=jnp.float32(0),
+        )
+        step = jax.jit(make_train_step(tcfg, opt))
+        feats = jnp.asarray(rng.standard_normal((2, 37, 37, 768)).astype(np.float32))
+        pl = jnp.asarray((rng.random((2, 68, 68, 1)) > 0.5).astype(np.float32))
+        _, aux = step(state, feats, pl, jnp.float32(0.0), jnp.float32(1.0))
+        loss = float(aux["loss"])
+        check("train step finite loss", np.isfinite(loss), f"loss={loss:.4f}")
+    except Exception as e:  # noqa: BLE001
+        check("train step finite loss", False, f"raised: {type(e).__name__}: {e}")
+
+    # 5. transfer round-trip
+    y = jax.jit(lambda t: t * 1.000001)(jnp.asarray(rng.standard_normal((16, 37, 37, 768)), dtype=dtype))
+    arr = np.asarray(y).astype(np.float32)
+    check("D2H round-trip finite", bool(np.isfinite(arr).all()), f"{arr.nbytes/1e6:.0f}MB")
+
+    print("SELF-CHECK:", "OK" if not failures else f"FAILED ({failures})")
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -160,8 +160,15 @@ class FeatureExtractor:
         """Returns host float32 (key_tokens (B,1+N,C), key_features NHWC,
         cls_attention (B, nh, 1+N)) — the pseudo-label generator contract."""
         toks, feats, attn = self._forward(True)(self.params, jnp.asarray(images_nhwc))
+        toks = np.asarray(toks).astype(np.float32, copy=False)
+        if not np.isfinite(toks).all():
+            raise FloatingPointError(
+                f"DINO forward produced non-finite key tokens "
+                f"({(~np.isfinite(toks)).sum()}/{toks.size} bad) on "
+                f"{jax.default_backend()} — kernel or numerics regression."
+            )
         return (
-            np.asarray(toks).astype(np.float32, copy=False),
+            toks,
             np.asarray(feats).astype(np.float32, copy=False),
             np.asarray(attn),
         )
