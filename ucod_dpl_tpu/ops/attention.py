@@ -163,10 +163,13 @@ def _attention_kernel_headpair(
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _pick_q_block(lp: int, score_budget_bytes: int = 8 * 1024 * 1024) -> int:
+def _pick_q_block(lp: int, score_budget_bytes: int = 16 * 1024 * 1024) -> int:
     """Largest q block whose f32 score tile (block_q, lp) fits the VMEM
-    budget. Whole-q programs measure fastest at 518px (lp=1408): fewer grid
-    steps, one resident K/V fetch; longer sequences fall back to q-blocking."""
+    budget. Whole-q programs measure fastest at 518px (lp=1408, 7.9MB tile):
+    fewer grid steps, one resident K/V fetch.  At 756px (lp=2944) the 16MB
+    budget picks block 736 (8.7MB tile) — 9.5% faster than the old 8MB
+    budget's 368, with 1472 (17.3MB) measured slightly worse
+    (scripts/microbench/bench_attention_756.py)."""
     n = 1
     while lp % n or (lp // n) % 16 or lp * (lp // n) * 4 > score_budget_bytes:
         n += 1
