@@ -79,21 +79,15 @@ def main():
             }
 
         # warm the extractor program first (same config+dtype+shape as the
-        # cache build — mirroring Runner's tpu_cfg.compute_dtype resolution,
-        # engine/runner.py) so t_build measures steady-state throughput, not
-        # the one-time XLA compile (~80s over axon remote compile, ~30s local)
-        import jax.numpy as jnp
-
+        # cache build — the dtype is part of the jit cache key) so t_build
+        # measures steady-state throughput, not the one-time XLA compile
+        # (~80s over axon remote compile, ~30s local)
         from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+        from ucod_dpl_tpu.engine.runner import resolve_compute_dtype
 
-        dtype_name = cfg.get("tpu_cfg", {}).get("compute_dtype")
-        warm_dtype = (
-            (jnp.bfloat16 if dtype_name == "bfloat16" else jnp.dtype(dtype_name))
-            if dtype_name
-            else None
-        )
         fe_warm = FeatureExtractor(
-            cfg.dataset_cfg.feature_extractor_cfg, compute_dtype=warm_dtype
+            cfg.dataset_cfg.feature_extractor_cfg,
+            compute_dtype=resolve_compute_dtype(cfg),
         )
         size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
         # 8 = the Dataset cache_build_batch default (data/dataset.py)

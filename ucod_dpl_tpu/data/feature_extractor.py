@@ -137,22 +137,27 @@ class FeatureExtractor:
         layernorm) on the feature-extraction path."""
         return _make_extract_fn(self.config, self.compute_dtype, want_attn)
 
+    @staticmethod
+    def _to_host_f32(device_arr, what: str) -> np.ndarray:
+        """Device array -> host float32, raising on non-finite values: a
+        non-finite backbone forward poisons every downstream cache and
+        silently evaluates as all-background masks — fail loudly (cost: one
+        vectorised host pass, ~1% of the transfer time)."""
+        arr = np.asarray(device_arr).astype(np.float32, copy=False)
+        if not np.isfinite(arr).all():
+            raise FloatingPointError(
+                f"DINO forward produced non-finite {what} "
+                f"({(~np.isfinite(arr)).sum()}/{arr.size} bad) on "
+                f"{jax.default_backend()} — kernel or numerics regression."
+            )
+        return arr
+
     def extract(self, images_nhwc: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) normalised images -> (B, h, w, hidden) float32 key
         features on host (transferred in the compute dtype — exact, see
         :func:`_make_extract_fn`)."""
         out = self._forward(False)(self.params, jnp.asarray(images_nhwc))
-        feats = np.asarray(out).astype(np.float32, copy=False)
-        if not np.isfinite(feats).all():
-            # A non-finite backbone forward poisons every downstream cache
-            # and silently evaluates as all-background masks — fail loudly
-            # (cost: one vectorised host pass, ~1% of the transfer time).
-            raise FloatingPointError(
-                f"DINO forward produced non-finite features "
-                f"({(~np.isfinite(feats)).sum()}/{feats.size} bad) on "
-                f"{jax.default_backend()} — kernel or numerics regression."
-            )
-        return feats
+        return self._to_host_f32(out, "features")
 
     def extract_with_attention(
         self, images_nhwc: np.ndarray
@@ -160,15 +165,8 @@ class FeatureExtractor:
         """Returns host float32 (key_tokens (B,1+N,C), key_features NHWC,
         cls_attention (B, nh, 1+N)) — the pseudo-label generator contract."""
         toks, feats, attn = self._forward(True)(self.params, jnp.asarray(images_nhwc))
-        toks = np.asarray(toks).astype(np.float32, copy=False)
-        if not np.isfinite(toks).all():
-            raise FloatingPointError(
-                f"DINO forward produced non-finite key tokens "
-                f"({(~np.isfinite(toks)).sum()}/{toks.size} bad) on "
-                f"{jax.default_backend()} — kernel or numerics regression."
-            )
         return (
-            toks,
+            self._to_host_f32(toks, "key tokens"),
             np.asarray(feats).astype(np.float32, copy=False),
             np.asarray(attn),
         )

@@ -26,6 +26,20 @@ from ucod_dpl_tpu.parallel import build_mesh
 from ucod_dpl_tpu.utils import Logger, get_logger
 
 
+def resolve_compute_dtype(cfg):
+    """tpu_cfg.compute_dtype -> jnp dtype (None when unset: backend default).
+
+    Shared by Runner construction and anything that must pre-warm the same
+    jitted programs (scripts/bench_e2e.py) — the dtype is part of the jit
+    cache key, so resolving it differently compiles a different program."""
+    dtype_name = cfg.get("tpu_cfg", {}).get("compute_dtype")
+    if not dtype_name:
+        return None
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if dtype_name == "bfloat16" else jnp.dtype(dtype_name)
+
+
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: compiles survive across processes,
     which matters enormously where compilation is remote/slow (each fresh
@@ -57,14 +71,9 @@ class Runner:
             ranks=cfg.log_cfg.get("multi_rank", [0]),
         )
         self.mesh = build_mesh(cfg.get("tpu_cfg", {}).get("mesh"))
-        compute_dtype = None
-        dtype_name = cfg.get("tpu_cfg", {}).get("compute_dtype")
-        if dtype_name:
-            import jax.numpy as jnp
-
-            compute_dtype = jnp.dtype(dtype_name) if dtype_name != "bfloat16" else jnp.bfloat16
         self.feature_extractor = FeatureExtractor(
-            cfg.dataset_cfg.feature_extractor_cfg, compute_dtype=compute_dtype
+            cfg.dataset_cfg.feature_extractor_cfg,
+            compute_dtype=resolve_compute_dtype(cfg),
         )
         self._build_model(load_from)
         self._build_dataloaders()
