@@ -86,3 +86,43 @@ def test_feature_extractor_discovers_weights(hf_dir, tmp_path):
     feats = fe.extract(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
     assert feats.shape == (1, 4, 4, 64)
     assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_extract_raises_on_nonfinite_features(monkeypatch):
+    """The finiteness guard must fail loudly — a NaN forward otherwise
+    poisons every cache and evaluates as all-background masks (round-4)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ucod_dpl_tpu.config.config import CfgNode
+    from ucod_dpl_tpu.data import feature_extractor as FE
+
+    fe = FE.FeatureExtractor(
+        CfgNode({
+            "type": "dinov2", "backbone": "facebook/dinov2-base",
+            "arch": {"hidden_size": 64, "num_layers": 1, "num_heads": 4,
+                     "patch_size": 8, "image_size": 32},
+        })
+    )
+    rng = np.random.default_rng(0)
+    monkeypatch.setattr(
+        fe, "_forward",
+        lambda want: (lambda p, x: jnp.full((1, 4, 4, 64), jnp.nan)),
+    )
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        fe.extract(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+
+
+def test_resolve_compute_dtype():
+    import jax.numpy as jnp
+
+    from ucod_dpl_tpu.config.config import CfgNode
+    from ucod_dpl_tpu.engine.runner import resolve_compute_dtype
+
+    assert resolve_compute_dtype(CfgNode({})) is None
+    assert resolve_compute_dtype(
+        CfgNode({"tpu_cfg": {"compute_dtype": "bfloat16"}})
+    ) == jnp.bfloat16
+    assert resolve_compute_dtype(
+        CfgNode({"tpu_cfg": {"compute_dtype": "float32"}})
+    ) == jnp.float32
