@@ -415,3 +415,29 @@ def test_pallas_attention_garbage_tail_rows(garbage):
     valid = np.asarray(out)[:, :seq_len, :]
     assert np.isfinite(valid).all(), "garbage tail leaked into valid rows"
     np.testing.assert_allclose(valid, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_packed_attention_multi_qblock(monkeypatch):
+    """The q-blocked grid path (block_q < Lp — taken at 756px where the
+    score tile exceeds the VMEM budget) must match XLA; the whole-q 518px
+    path is covered by the other packed tests."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ucod_dpl_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_pick_q_block", lambda lp, *a, **k: 128)
+    rng = np.random.default_rng(31)
+    b, l, nh, hd = 1, 300, 4, 64  # lp=384 -> 3 q-blocks of 128
+    d = nh * hd
+    q = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, l, d)).astype(np.float32))
+
+    def split(x):
+        return x.reshape(b, l, nh, hd).transpose(0, 2, 1, 3).reshape(b * nh, l, hd)
+
+    ref = A._xla_attention(split(q), split(k), split(v), scale=0.125)
+    ref = np.asarray(ref).reshape(b, nh, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d)
+    with pltpu.force_tpu_interpret_mode():
+        ours = A._pallas_attention_packed(q, k, v, nh, 0.125)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)
