@@ -28,6 +28,10 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from ucod_dpl_tpu.engine.runner import _enable_compilation_cache
+
+    _enable_compilation_cache()  # repeat runs skip the (remote) compile
+
     from ucod_dpl_tpu.models.dba import fg_logits_live, init_rev_decoder
     from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
     from ucod_dpl_tpu.ops import attention as A
