@@ -85,13 +85,21 @@ def main():
         from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
         from ucod_dpl_tpu.engine.runner import resolve_compute_dtype
 
+        import inspect
+
+        from ucod_dpl_tpu.data.dataset import CODDataset
+
         fe_warm = FeatureExtractor(
             cfg.dataset_cfg.feature_extractor_cfg,
             compute_dtype=resolve_compute_dtype(cfg),
         )
         size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
-        # 8 = the Dataset cache_build_batch default (data/dataset.py)
-        fe_warm.extract(np.zeros((8, *size, 3), np.float32))
+        # warm the exact batch shape the cache build will compile
+        warm_bs = inspect.signature(CODDataset.__init__).parameters[
+            "cache_build_batch"
+        ].default
+        fe_warm.extract(np.zeros((warm_bs, *size, 3), np.float32))
+        del fe_warm  # drop the duplicate backbone params (~330MB HBM)
 
         t0 = time.perf_counter()
         runner = Runner(cfg, mode="eval")  # builds the feature cache

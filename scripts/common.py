@@ -31,9 +31,11 @@ def init_cfg(args, mode: str):
         args.work_dir, rel, os.path.splitext(os.path.basename(args.config))[0]
     )
     os.makedirs(cfg.work_dir, exist_ok=True)
-    # logs/checkpoints always live under the derived work_dir — the
-    # reference overwrites log_cfg.log_path from work_dir unconditionally
-    # (runner.py:133-140), so a base-config log_path must not defeat
-    # --work_dir here
-    cfg.log_cfg.log_path = os.path.join(cfg.work_dir, "logs")
+    # logs/checkpoints live under the derived work_dir — the reference
+    # overwrites log_cfg.log_path from work_dir unconditionally
+    # (runner.py:133-140), so a base-config DEFAULT must not defeat
+    # --work_dir.  An EXPLICIT --opts log_cfg.log_path override, however,
+    # is the user speaking and wins.
+    if "log_cfg.log_path" not in (args.opts or []):
+        cfg.log_cfg.log_path = os.path.join(cfg.work_dir, "logs")
     return cfg

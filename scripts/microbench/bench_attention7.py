@@ -8,9 +8,12 @@ TWO full-(bq,lp)-tile VPU passes (max-reduce, subtract) per head.
 
 Guard band with C=30 (log2 units): overflow needs a scaled logit > 157
 (natural-log equivalent 109); a denominator underflowing to zero needs ALL
-of a row's logits < -119 (natural -83).  DINOv2-B logit magnitudes are ~30
-at the extreme (outlier tokens) — both bounds have >2x margin, and breach
-produces a loud Inf/NaN, not a silent wrong answer.
+of a row's logits below the p-dtype's subnormal floor — -119 log2 (natural
+-83) for variant B's f32 probabilities, -103 log2 (natural -71) for the
+ADOPTED variant C's bf16 probabilities (the binding bound; see
+ops/attention.py).  DINOv2-B logit magnitudes are ~30 at the extreme
+(outlier tokens) — both bounds have >2x margin, and breach produces a loud
+Inf/NaN, not a silent wrong answer.
 
 Variants:
   A. control: adopted round-3 kernel (mask row + exp2(s - rowmax));

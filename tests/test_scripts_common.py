@@ -48,3 +48,27 @@ def test_init_cfg_train_mode_and_overrides(tmp_path, monkeypatch):
     assert cfg.model_cfg.feature_size == 32
     assert cfg.train_cfg.checkpoint == "/some/ckpt.safetensors"
     assert cfg.train_cfg.resume == "/some/state"
+
+
+def test_explicit_log_path_override_wins(tmp_path, monkeypatch):
+    """--opts log_cfg.log_path <path> is the user speaking and must not be
+    overwritten by the work_dir-derived default (while a base-config
+    log_path default IS overwritten — reference runner.py:133-140)."""
+    import os
+
+    cfg_file = tmp_path / "c.py"
+    cfg_file.write_text(
+        "cfg = dict(log_cfg=dict(log_path='./work/logs'), train_cfg=dict(lr0=1e-3),\n"
+        "           dataset_cfg=dict(valset_cfg=dict(keep_size=False)))\n"
+    )
+    custom = str(tmp_path / "mylogs")
+    args = _args(work_dir=str(tmp_path / "wd"),
+                 opts=["log_cfg.log_path", custom])
+    args.config = str(cfg_file)
+    cfg = init_cfg(args, mode="train")
+    assert cfg.log_cfg.log_path == custom
+
+    args2 = _args(work_dir=str(tmp_path / "wd2"))
+    args2.config = str(cfg_file)
+    cfg2 = init_cfg(args2, mode="train")
+    assert cfg2.log_cfg.log_path == os.path.join(cfg2.work_dir, "logs")

@@ -168,5 +168,7 @@ class FeatureExtractor:
         return (
             self._to_host_f32(toks, "key tokens"),
             np.asarray(feats).astype(np.float32, copy=False),
-            np.asarray(attn),
+            # the pseudo-label path thresholds these probabilities — NaN
+            # comparisons are all-False, i.e. silently degenerate masks
+            self._to_host_f32(attn, "CLS attention"),
         )

@@ -75,7 +75,12 @@ def _env_flag(name: str) -> bool:
 def _rowmax_softmax() -> bool:
     """UCOD_ATTN_ROWMAX_SOFTMAX=1 restores the row-max-subtracted softmax
     (two extra full-tile VPU passes) — a debugging escape hatch for inputs
-    outside the documented logit guard band."""
+    outside the documented logit guard band.
+
+    Read at TRACE time: it takes effect for programs traced after it is
+    set.  jit caches key on shapes, not env vars — set the flag before the
+    first attention call of the process (or restart), or an already-traced
+    same-shape program will silently keep the no-rowmax kernel."""
     return _env_flag("UCOD_ATTN_ROWMAX_SOFTMAX")
 
 
