@@ -340,6 +340,46 @@ def build_shared_backbone(hidden=768, layers=2, heads=12, patch=14, image=56, se
     return hf, params, our_cfg
 
 
+def build_shared_backbone_v1(hidden=768, layers=2, heads=12, patch=8, image=32, seed=0):
+    """(HF torch ViTModel — the `facebook/dino-vitb8` architecture — our
+    params pytree, our DinoConfig) with identical weights.
+
+    ``image`` is the HF config's NATIVE pos-embed size; evaluating at a
+    larger size exercises the ``interpolate_pos_encoding=True`` path the
+    reference enables for DINOv1 (``data/utils/feature_extractor.py:49-55``,
+    296px eval over 224px pretraining)."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    from ucod_dpl_tpu.models.dino import DinoConfig, convert_hf_state_dict
+
+    torch.manual_seed(seed)
+    hf_cfg = ViTConfig(
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=hidden * 4,
+        patch_size=patch,
+        image_size=image,
+        output_attentions=True,
+        attn_implementation="eager",
+    )
+    hf = ViTModel(hf_cfg, add_pooling_layer=False).eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
+    import dataclasses
+
+    our_cfg = dataclasses.replace(
+        DinoConfig.dinov1_vitb8(),
+        hidden_size=hidden,
+        num_layers=layers,
+        num_heads=heads,
+        patch_size=patch,
+        image_size=image,
+    )
+    params = convert_hf_state_dict(sd, our_cfg)
+    return hf, params, our_cfg
+
+
 def confident_decoder_params(dim=768, seed=0, gain=4.0):
     """Random decoder params with boosted head weights: pushes sigmoid
     outputs away from the 0.5 threshold so float-noise between torch and JAX
@@ -356,6 +396,106 @@ def confident_decoder_params(dim=768, seed=0, gain=4.0):
         conv_out_fg_b=p.conv_out_fg_b + jnp.float32(0.1),
         conv_out_bg_b=p.conv_out_bg_b - jnp.float32(0.1),
     )
+
+
+def suppressed_decoder_params(dim=768, seed=0, gain=4.0, bias=-8.0):
+    """Decoder whose fg head is biased hard negative: every coarse logit is
+    < 0 with a wide margin, so the CORAL ``_should_crop_center`` ratio
+    ``(preds > 0).sum()/(h*w)`` is exactly 0 < 0.001 on both frameworks —
+    deterministically forcing the centre-crop fallback branch
+    (loop_CORAL.py:247-258)."""
+    import jax.numpy as jnp
+
+    p = confident_decoder_params(dim, seed, gain)
+    return p._replace(conv_out_fg_b=p.conv_out_fg_b * 0 + jnp.float32(bias))
+
+
+def confident_refiner_params(dim=768, seed=7, gain=8.0):
+    """Refiner params with the GE fuser head scaled up: refined logits sit
+    far from the 0.5-sigmoid threshold (and far outside [0, 1], keeping the
+    ``process_preds`` already-probabilities predicate robustly False on both
+    frameworks), so binarised masks cannot flip on cross-framework float
+    noise."""
+    import jax
+
+    from ucod_dpl_tpu.models.udlr import init_sparse_refiner
+
+    p = init_sparse_refiner(jax.random.PRNGKey(seed), dim=dim)
+    p["ge"]["fuser2"] = {
+        "w": p["ge"]["fuser2"]["w"] * gain,
+        "b": p["ge"]["fuser2"]["b"] * gain,
+    }
+    return p
+
+
+def center_logits_shift(logits: np.ndarray, q_lo=0.3, q_hi=0.7):
+    """(shift, certified_gap): shift places the decision threshold at the
+    midpoint of the LARGEST gap between consecutive sorted logits inside the
+    [q_lo, q_hi] quantile band.  After shifting, roughly q_lo..q_hi of pixels
+    are foreground (non-degenerate masks) and no logit lies closer to the
+    threshold than gap/2 — a *certified* decision margin, orders of magnitude
+    above cross-framework f32 drift, so binarised masks cannot flip."""
+    s = np.sort(np.asarray(logits, np.float64).ravel())
+    lo, hi = int(len(s) * q_lo), int(len(s) * q_hi)
+    gaps = np.diff(s[lo:hi])
+    i = int(np.argmax(gaps))
+    mid = (s[lo + i] + s[lo + i + 1]) / 2.0
+    return -float(mid), float(gaps[i])
+
+
+def sharpen_decoder_fg(dec, shift: float, scale: float = 50.0):
+    """Apply the centering shift to the fg head, then scale the head so the
+    sigmoid saturates to exactly 0.0/1.0 in f32 away from the threshold:
+    bilinear upsampling of saturated probabilities cannot manufacture new
+    knife-edge 0.5-crossings from sub-ulp drift (the zero-crossing set is
+    unchanged by positive scaling)."""
+    import jax.numpy as jnp
+
+    return dec._replace(
+        conv_out_fg_w=dec.conv_out_fg_w * scale,
+        conv_out_fg_b=(dec.conv_out_fg_b + jnp.float32(shift)) * scale,
+    )
+
+
+def sharpen_refiner_head(refiner, shift: float, scale: float = 50.0):
+    """Same centering+saturation treatment for the refiner's GE fuser head
+    (the final stage-2 logit producer)."""
+    import copy
+
+    p = copy.deepcopy(refiner)
+    p["ge"]["fuser2"] = {
+        "w": p["ge"]["fuser2"]["w"] * scale,
+        "b": (p["ge"]["fuser2"]["b"] + shift) * scale,
+    }
+    return p
+
+
+def assert_masks_bitexact(ref_dir: str, our_dir: str) -> None:
+    """Saved binary masks must agree on EVERY pixel; on failure the flipped
+    pixel coordinates are listed so drift is attributable, not averaged
+    away."""
+    names = sorted(os.listdir(ref_dir))
+    assert names == sorted(os.listdir(our_dir)), (names, sorted(os.listdir(our_dir)))
+    from PIL import Image
+
+    nonconstant = 0
+    for name in names:
+        a = np.asarray(Image.open(os.path.join(ref_dir, name))) > 127
+        b = np.asarray(Image.open(os.path.join(our_dir, name))) > 127
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        if a.size and (a.any() and not a.all()):
+            nonconstant += 1
+        if (a != b).any():
+            ys, xs = np.nonzero(a != b)
+            listing = ", ".join(f"({y},{x})" for y, x in list(zip(ys, xs))[:20])
+            raise AssertionError(
+                f"{name}: {len(ys)}/{a.size} flipped pixels at [{listing}"
+                + (", ..." if len(ys) > 20 else "")
+                + "] — composition drift; attribute it, do not widen the tolerance"
+            )
+    # degenerate oracles (all-constant masks) can't witness composition
+    # drift; require real structure in the comparison set
+    assert nonconstant >= 1, f"all {len(names)} masks constant — oracle too weak"
 
 
 def make_synthetic_dataset(root, n=5, size=(80, 100), seed=0):

@@ -32,12 +32,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_pipeline_harness import (
     FakeRunner,
     SilentLogger,
+    assert_masks_bitexact,
     build_shared_backbone,
+    build_shared_backbone_v1,
     confident_decoder_params,
+    confident_refiner_params,
     import_reference,
     make_synthetic_dataset,
     patch_cuda_to_cpu,
+    suppressed_decoder_params,
 )
+
+# Tolerance rationale (round 5): with the image files, the DINO weights, the
+# decoder checkpoint AND the on-disk feature caches shared between the two
+# frameworks, every tensor fed to the loops is identical, both sides compute
+# in f32 on CPU, and every quantity entering the metrics is BINARISED before
+# comparison (loop_UCOD_DPL.py:316, loop_CORAL.py:339) — so the saved masks
+# must agree on every pixel (decision margins are boosted ~4 orders of
+# magnitude above cross-framework float drift by the confident_* params) and
+# the float64 metric dicts can differ only by accumulation-order rounding
+# (~1e-16 observed).  METRIC_ATOL = 1e-9 keeps 7 orders of margin below a
+# published-table rounding step; a violation means composition drift and must
+# be attributed, never absorbed by widening the tolerance.
+METRIC_ATOL = 1e-9
 
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference tree not mounted"
@@ -137,35 +154,52 @@ def _our_cfg(tmp_path):
     )
 
 
-def test_stage1_pipeline_equivalence(ref, tmp_path, monkeypatch):
+def _centered_decoders(ref_loader, seeds=(0, 1)):
+    """Build the shared decoder pair with the fg decision threshold centered
+    in the largest first-pass logit gap (structured, non-degenerate masks
+    with a certified margin) and the head saturated (see harness helpers)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as TF
+
+    from ref_pipeline_harness import center_logits_shift, sharpen_decoder_fg
+    from ucod_dpl_tpu.models.dba import rev_decoder_forward
+
+    dec = confident_decoder_params(DIM, seed=seeds[0])
+    dec_ema = confident_decoder_params(DIM, seed=seeds[1])
+    feats = []
+    for batch in ref_loader:
+        f = list(batch.values())[2]  # (B, C, h, w) cached key features
+        feats.append(TF.interpolate(f, size=(FEAT, FEAT), mode="bilinear"))
+    feats8 = torch.cat(feats).permute(0, 2, 3, 1).numpy()
+    logits = np.asarray(
+        rev_decoder_forward(dec, jnp.asarray(feats8), with_loss=False)[0]
+    )
+    shift, gap = center_logits_shift(logits)
+    assert gap > 1e-6, f"degenerate logit spectrum (gap {gap})"
+    return sharpen_decoder_fg(dec, shift), sharpen_decoder_fg(dec_ema, shift)
+
+
+def _run_stage1_equivalence(ref, tmp_path, variant: str, our_backbone_params):
+    """Shared stage-1 driver for both backbone geometries."""
     import torch
     from safetensors.torch import load_file as torch_load_file
 
     from ucod_dpl_tpu.engine import Runner
     from ucod_dpl_tpu.models.safetensors_io import save_decoder_checkpoint
 
-    patch_cuda_to_cpu(monkeypatch)
-    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=5)
-
-    # one backbone, two frameworks
-    hf_model, our_backbone_params, _ = build_shared_backbone(
-        hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
-    )
-    monkeypatch.setattr(
-        ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
-    )
-
-    # one decoder checkpoint, two frameworks
-    dec = confident_decoder_params(DIM, seed=0)
-    dec_ema = confident_decoder_params(DIM, seed=1)
-    ckpt = str(tmp_path / "decoder.safetensors")
-    save_decoder_checkpoint(ckpt, dec, dec_ema)
-
     # --- reference oracle ---------------------------------------------------
-    ref_cfg = _ref_cfg(ref, tmp_path)
+    ref_cfg = _ref_cfg(ref, tmp_path) if variant == "dinov2" else _ref_cfg_v1(ref, tmp_path)
     ref_loader = ref.dataloader_utils.DataLoaderFactory.create_test_loader(
         ref_cfg.dataset_cfg, logger=SilentLogger()
     )  # builds the shared feature cache on disk
+
+    # one decoder checkpoint, two frameworks — threshold centered so masks
+    # have real structure (a constant-mask oracle cannot witness drift)
+    dec, dec_ema = _centered_decoders(ref_loader)
+    ckpt = str(tmp_path / "decoder.safetensors")
+    save_decoder_checkpoint(ckpt, dec, dec_ema)
+
     ref_model = ref.uscod.baseline(ref_cfg.model_cfg).eval()
     missing = ref_model.load_state_dict(torch_load_file(ckpt))
     assert not missing.missing_keys and not missing.unexpected_keys
@@ -175,7 +209,7 @@ def test_stage1_pipeline_equivalence(ref, tmp_path, monkeypatch):
         ).run()
 
     # --- ours ----------------------------------------------------------------
-    cfg = _our_cfg(tmp_path)
+    cfg = _our_cfg(tmp_path) if variant == "dinov2" else _our_cfg_v1(tmp_path)
     runner = Runner(cfg, mode="eval")
     # shared weights injected (the cache on disk is the reference's pickles)
     runner.feature_extractor.params = our_backbone_params
@@ -189,21 +223,82 @@ def test_stage1_pipeline_equivalence(ref, tmp_path, monkeypatch):
     # --- compare --------------------------------------------------------------
     assert set(our_result) == set(ref_result)
     for key in ref_result:
-        assert np.isclose(our_result[key], ref_result[key], atol=2e-3), (
+        assert np.isclose(our_result[key], ref_result[key], atol=METRIC_ATOL), (
             key, our_result[key], ref_result[key],
         )
 
-    # saved masks agree pixelwise (tiny tolerance for binarisation-boundary
-    # float noise between torch and JAX)
-    ref_preds = os.path.join(str(tmp_path / "ref_logs"), "preds", "TINY")
-    our_preds = os.path.join(str(tmp_path / "our_logs"), "preds", "TINY")
-    names = sorted(os.listdir(ref_preds))
-    assert names == sorted(os.listdir(our_preds))
-    for name in names:
-        a = np.asarray(Image.open(os.path.join(ref_preds, name))) > 127
-        b = np.asarray(Image.open(os.path.join(our_preds, name))) > 127
-        assert a.shape == b.shape
-        assert np.mean(a != b) < 0.01, (name, np.mean(a != b))
+    # saved masks agree on EVERY pixel (see METRIC_ATOL rationale above)
+    assert_masks_bitexact(
+        os.path.join(str(tmp_path / "ref_logs"), "preds", "TINY"),
+        os.path.join(str(tmp_path / "our_logs"), "preds", "TINY"),
+    )
+
+
+def test_stage1_pipeline_equivalence(ref, tmp_path, monkeypatch):
+    patch_cuda_to_cpu(monkeypatch)
+    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=5)
+
+    # one backbone, two frameworks
+    hf_model, our_backbone_params, _ = build_shared_backbone(
+        hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
+    )
+    monkeypatch.setattr(
+        ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
+    )
+    _run_stage1_equivalence(ref, tmp_path, "dinov2", our_backbone_params)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1, DINOv1 geometry (patch-8 ViT + interpolated pos-embed — the
+# 296px/vitb8 eval path of configs/uscod/UCOD-DPL_dinov1.py, in miniature:
+# the HF config's native pos grid is 32px/8 = 4x4 and eval runs at 48px ->
+# 6x6, exercising interpolate_pos_encoding exactly as 296 over 224 does)
+# ---------------------------------------------------------------------------
+
+IMG_V1 = 48  # 6x6 grid at patch 8
+POS_IMG_V1 = 32  # native pos-embed size: interpolation forced at 48
+
+
+def _ref_cfg_v1(ref, tmp_path):
+    cfg = _ref_cfg(ref, tmp_path)
+    cfg.dataset_cfg.feature_extractor_cfg.type = "dinov1"
+    # 'dinov2' NOT in backbone => the reference wrapper passes
+    # interpolate_pos_encoding=True (feature_extractor.py:49-55)
+    cfg.dataset_cfg.feature_extractor_cfg.backbone = "facebook/dino-vitb8"
+    cfg.dataset_cfg.valset_cfg.image_size = (IMG_V1, IMG_V1)
+    # v1 look_twice threshold from UCOD-DPL_dinov1.py is 0.05; keep the
+    # test's forced-zoom 0.95 so the LookTwice branch runs on tiny blobs
+    return cfg
+
+
+def _our_cfg_v1(tmp_path):
+    cfg = _our_cfg(tmp_path)
+    fe = cfg.dataset_cfg.feature_extractor_cfg
+    fe.type = "dinov1"
+    fe.backbone = "facebook/dino-vitb8"
+    fe.arch = {
+        "hidden_size": DIM,
+        "num_layers": 2,
+        "num_heads": 12,
+        "patch_size": 8,
+        "image_size": POS_IMG_V1,
+    }
+    cfg.dataset_cfg.valset_cfg.image_size = (IMG_V1, IMG_V1)
+    cfg.dataset_cfg.trainset_cfg.image_size = (IMG_V1, IMG_V1)
+    return cfg
+
+
+def test_stage1_pipeline_equivalence_dinov1(ref, tmp_path, monkeypatch):
+    patch_cuda_to_cpu(monkeypatch)
+    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=5)
+
+    hf_model, our_backbone_params, _ = build_shared_backbone_v1(
+        hidden=DIM, layers=2, heads=12, patch=8, image=POS_IMG_V1, seed=3
+    )
+    monkeypatch.setattr(
+        ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
+    )
+    _run_stage1_equivalence(ref, tmp_path, "dinov1", our_backbone_params)
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +408,114 @@ def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch):
 
     assert set(our_result) == set(ref_result)
     for key in ref_result:
-        assert np.isclose(our_result[key], ref_result[key], atol=2e-3), (
+        assert np.isclose(our_result[key], ref_result[key], atol=METRIC_ATOL), (
             key, our_result[key], ref_result[key],
         )
+    assert_masks_bitexact(
+        os.path.join(str(tmp_path / "ref_logs"), "preds", "TINY"),
+        os.path.join(str(tmp_path / "our_logs"), "preds", "TINY"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2, remaining branches: the centre-crop fallback (live re-extraction,
+# loop_CORAL.py:247-311) composed with BOTH coarse-prediction modes — the
+# 2x2 m-patch stitch and the direct l-feature path — plus the -10 centre-pad
+# on output.  A hard-negative decoder bias makes (preds > 0) exactly zero on
+# both frameworks, so every image deterministically takes the fallback.
+# The fallback re-runs the DINO backbone LIVE in each framework (torch vs
+# JAX) — the one place cache-sharing cannot shield the comparison — so this
+# is precisely where composition drift would surface; the boosted decision
+# margins keep binarised masks exact anyway.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("with_m_patches", [True, False])
+def test_stage2_coral_center_crop_equivalence(ref, tmp_path, monkeypatch, with_m_patches):
+    import torch
+    from safetensors.torch import load_file as torch_load_file
+
+    from ucod_dpl_tpu.engine.runner import LocalRefineRunner
+    from ucod_dpl_tpu.models.safetensors_io import save_decoder_checkpoint
+    from ucod_dpl_tpu.models.udlr import save_refiner_checkpoint
+
+    patch_cuda_to_cpu(monkeypatch)
+    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=3)
+
+    hf_model, our_backbone_params, _ = build_shared_backbone(
+        hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
+    )
+    monkeypatch.setattr(
+        ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
+    )
+
+    dec = suppressed_decoder_params(DIM, seed=0)  # forces the fallback
+    dec_ema = suppressed_decoder_params(DIM, seed=1)
+    dec_ckpt = str(tmp_path / "decoder.safetensors")
+    save_decoder_checkpoint(dec_ckpt, dec, dec_ema)
+
+    # --- shared caches + our runner first (pre-pass needs them) ---------------
+    ref_cfg = _ref_cfg_coral(ref, tmp_path)
+    ref_cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
+    ref_loader = ref.dataloader_utils.DataLoaderFactory.create_lr_test_loader(
+        ref_cfg.dataset_cfg, logger=SilentLogger(), window_size=3
+    )  # builds feature/patch(/m_patch) caches on disk
+
+    cfg = _our_cfg_coral(tmp_path)
+    cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
+    runner = LocalRefineRunner(cfg, mode="val")
+    runner.feature_extractor.params = our_backbone_params
+    runner.decoder_params = dec
+    runner.decoder_ema_params = dec_ema
+
+    # centre the refiner's fused-logit threshold so the refined masks carry
+    # structure (certified-gap margin, then saturation — harness helpers)
+    from ref_pipeline_harness import center_logits_shift, sharpen_refiner_head
+    from ucod_dpl_tpu.engine.coral_loop import LocalRefineEvaluator
+
+    base_refiner = confident_refiner_params(DIM, seed=7)
+    runner.refiner_params = base_refiner
+    ev = LocalRefineEvaluator(cfg, runner)
+    outs = []
+    for p in runner.val_dataset.image_paths:
+        l_c, h_c, m_c = runner.val_dataset.get_features(p, crop_center=True)
+        l_feat, h_feat, preds = ev._prepare(
+            np.asarray(l_c, np.float32),
+            np.asarray(h_c, np.float32),
+            np.asarray(m_c, np.float32) if m_c is not None else None,
+        )
+        outs.append(np.asarray(ev._refine(base_refiner, l_feat, h_feat, preds)))
+    shift, gap = center_logits_shift(np.concatenate(outs))
+    assert gap > 1e-9, f"degenerate refined-logit spectrum (gap {gap})"
+    refiner_params = sharpen_refiner_head(base_refiner, shift)
+    runner.refiner_params = refiner_params
+    refiner_ckpt = str(tmp_path / "refiner.safetensors")
+    save_refiner_checkpoint(refiner_ckpt, refiner_params)
+
+    # --- reference oracle ------------------------------------------------------
+    ref_model = ref.uscod.baseline(ref_cfg.model_cfg).eval()
+    res = ref_model.load_state_dict(torch_load_file(dec_ckpt))
+    assert not res.missing_keys and not res.unexpected_keys
+    ref_refiner = ref.UDLR.SparseRefiner(
+        config=None, window_size=3, threshold=0.0015, dim=DIM
+    ).eval()
+    res = ref_refiner.load_state_dict(torch_load_file(refiner_ckpt))
+    assert not res.missing_keys and not res.unexpected_keys
+
+    with torch.no_grad():
+        ref_result = ref.loop_coral.LocalRefineValidationLoop(
+            ref_cfg, FakeRunner(ref_model, ref_loader, refiner=ref_refiner)
+        ).run()
+
+    # --- ours --------------------------------------------------------------------
+    our_result = runner.launch_val()
+
+    assert set(our_result) == set(ref_result)
+    for key in ref_result:
+        assert np.isclose(our_result[key], ref_result[key], atol=METRIC_ATOL), (
+            key, our_result[key], ref_result[key],
+        )
+    assert_masks_bitexact(
+        os.path.join(str(tmp_path / "ref_logs"), "preds", "TINY"),
+        os.path.join(str(tmp_path / "our_logs"), "preds", "TINY"),
+    )

@@ -206,7 +206,11 @@ class LocalRefineEvaluator:
                 label = labels[i]
                 out = outs[i][None]  # (1, H, W, 1)
                 in_01 = bool(np.all((out >= 0) & (out <= 1)))
-                probs = out if in_01 else 1.0 / (1.0 + np.exp(-out))
+                # clip keeps exp() in range; saturation beyond +-88 is below
+                # 1e-38, invisible to the 0.5 binarisation threshold
+                probs = (
+                    out if in_01 else 1.0 / (1.0 + np.exp(-np.clip(out, -88.0, 88.0)))
+                )
                 lh, lw = label.shape[:2]
                 up = interpolate_bilinear_np(
                     np.transpose(probs, (0, 3, 1, 2)), (lh, lw)
