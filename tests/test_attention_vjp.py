@@ -1,0 +1,136 @@
+"""Flash-attention backward (custom_vjp) parity.
+
+The packed Pallas kernel carries a recompute-based flash backward
+(``ops/attention.py::_pallas_attention_packed_bwd``) so differentiated
+paths (LoRA through the backbone, reference intent ``full_model.py:47-72``)
+keep the kernel instead of falling back to XLA attention + remat.  These
+tests pin ``jax.grad`` through ``multi_head_attention`` against the XLA VJP
+in interpret mode (exact same kernel code path as TPU, minus Mosaic boundary
+masking); the on-chip check lives in ``scripts/tpu_selfcheck.py``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from ucod_dpl_tpu.ops.attention import _xla_attention, multi_head_attention
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+
+
+def _xla_mha(q, k, v, num_heads, scale):
+    b, l, d = q.shape
+    hd = d // num_heads
+
+    def split(x):
+        return x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3).reshape(
+            b * num_heads, l, hd
+        )
+
+    o = _xla_attention(split(q), split(k), split(v), scale)
+    return o.reshape(b, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(b, l, d)
+
+
+# 150 exercises the boundary block (not a multiple of 128); 128 the aligned
+# path; 12 heads = ViT-B
+@pytest.mark.parametrize("seq_len,num_heads", [(150, 2), (128, 2), (90, 12)])
+def test_grad_matches_xla_vjp(seq_len, num_heads):
+    rng = np.random.default_rng(0)
+    hd = 64
+    d = num_heads * hd
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, seq_len, d)), jnp.float32)
+        for _ in range(3)
+    )
+    # a non-trivial upstream cotangent (sum-of-squares)
+    loss_p = lambda *a: jnp.sum(multi_head_attention(*a, num_heads, scale=scale) ** 2)
+    loss_x = lambda *a: jnp.sum(_xla_mha(*a, num_heads, scale) ** 2)
+
+    grads_p = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    grads_x = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for name, gp, gx in zip("qkv", grads_p, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name}",
+        )
+
+
+def test_grad_cotangent_dtype_matches_primal():
+    """custom_vjp cotangents must come back in the primal dtype (bf16 on the
+    TPU path) or jax raises at transpose time."""
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 64, 128)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    g = jax.grad(
+        lambda a, b, c: jnp.sum(
+            multi_head_attention(a, b, c, 2, scale=0.125).astype(jnp.float32)
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for x in g:
+        assert x.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(x.astype(jnp.float32)).all())
+
+
+def test_value_unchanged_by_vjp_wrapper():
+    """The custom_vjp wrapper must not perturb the forward value."""
+    from ucod_dpl_tpu.ops.attention import _pallas_attention_packed
+
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, 150, 128)), jnp.float32)
+        for _ in range(3)
+    )
+    a = multi_head_attention(q, k, v, 2, scale=0.125)
+    b = _pallas_attention_packed(q, k, v, 2, 0.125)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dino_lora_grads_with_flash_vjp():
+    """End-to-end: LoRA-style grads through a tiny DINO backbone with the
+    Pallas attention + flash VJP (interpret) match the XLA-attention path
+    (UCOD_ATTN_XLA_VJP escape hatch) — proving differentiated backbone
+    traces keep the kernel and get the same gradients."""
+    from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
+    from ucod_dpl_tpu.ops.attention import differentiable_mode
+
+    cfg = DinoConfig(
+        variant="dinov2", image_size=32, patch_size=8, hidden_size=64,
+        num_layers=2, num_heads=2, mlp_ratio=2, use_layerscale=True,
+    )
+    params = init_dino(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+
+    def loss(p):
+        out = dino_forward(p, px, cfg=cfg, compute_dtype=jnp.float32)
+        return jnp.sum(out["key_features"] ** 2)
+
+    with differentiable_mode():
+        g_flash = jax.grad(loss)(params)
+    os.environ["UCOD_ATTN_XLA_VJP"] = "1"
+    try:
+        with differentiable_mode():
+            g_xla = jax.grad(loss)(params)
+    finally:
+        del os.environ["UCOD_ATTN_XLA_VJP"]
+
+    flat_f, _ = jax.tree.flatten(g_flash)
+    flat_x, _ = jax.tree.flatten(g_xla)
+    for a, b in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )

@@ -400,7 +400,8 @@ def test_pallas_attention_garbage_tail_rows(garbage):
 
     out = pl.pallas_call(
         functools.partial(
-            A._attention_kernel_headpair, seq_len=seq_len, scale=0.125, head_dim=hd
+            A._attention_kernel_headpair, seq_len=seq_len, scale=0.125, head_dim=hd,
+            rowmax=False,
         ),
         grid=(b, nh // 2, 1),
         in_specs=[

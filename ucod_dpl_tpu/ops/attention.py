@@ -77,15 +77,16 @@ def _rowmax_softmax() -> bool:
     (two extra full-tile VPU passes) — a debugging escape hatch for inputs
     outside the documented logit guard band.
 
-    Read at TRACE time: it takes effect for programs traced after it is
-    set.  jit caches key on shapes, not env vars — set the flag before the
-    first attention call of the process (or restart), or an already-traced
-    same-shape program will silently keep the no-rowmax kernel."""
+    The flag is threaded into :func:`_pallas_attention_packed` as a STATIC
+    jit argument, so toggling it mid-process forces a retrace — an
+    already-compiled same-shape program never silently keeps the stale
+    kernel."""
     return _env_flag("UCOD_ATTN_ROWMAX_SOFTMAX")
 
 
 def _attention_kernel_headpair(
-    q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float, head_dim: int
+    q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float, head_dim: int,
+    rowmax: bool,
 ):
     """Two heads per program: blocks carry 2*head_dim (=128) lanes to satisfy
     the TPU lane-tiling constraint; each head attends independently.
@@ -119,7 +120,6 @@ def _attention_kernel_headpair(
     mask_row = None
     outs = []
     qscale = scale * _LOG2E
-    rowmax = _rowmax_softmax()
     lp = k_ref.shape[1]
     # Sanitise the K/V tail rows (seq_len..Lp): when the kernel composes
     # with on-device producers, XLA leaves GARBAGE (arbitrary bf16 bit
@@ -168,13 +168,33 @@ def _attention_kernel_headpair(
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _pick_q_block(lp: int, score_budget_bytes: int = 16 * 1024 * 1024) -> int:
+@functools.lru_cache(maxsize=1)
+def _score_budget_bytes() -> int:
+    """f32 score-tile VMEM budget for :func:`_pick_q_block`.
+
+    16MB assumes >=32MB VMEM per core (TPU v4/v5/v6 — validated on the v5e
+    dev chip; the worst-case resident set is the 8.7MB score tile at 756px
+    plus ~4.4MB of Q/K/V/output blocks, comfortable at 32MB).  v2/v3 cores
+    have only 16MB VMEM, where that set may not compile (a loud Mosaic
+    allocation error, never silent) — gate down to 8MB there."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 16 * 1024 * 1024
+    if "v2" in kind or "v3" in kind:
+        return 8 * 1024 * 1024
+    return 16 * 1024 * 1024
+
+
+def _pick_q_block(lp: int, score_budget_bytes: int | None = None) -> int:
     """Largest q block whose f32 score tile (block_q, lp) fits the VMEM
     budget. Whole-q programs measure fastest at 518px (lp=1408, 7.9MB tile):
     fewer grid steps, one resident K/V fetch.  At 756px (lp=2944) the 16MB
     budget picks block 736 (8.7MB tile) — 9.5% faster than the old 8MB
     budget's 368, with 1472 (17.3MB) measured slightly worse
     (scripts/microbench/bench_attention_756.py)."""
+    if score_budget_bytes is None:
+        score_budget_bytes = _score_budget_bytes()
     n = 1
     while lp % n or (lp // n) % 16 or lp * (lp // n) * 4 > score_budget_bytes:
         n += 1
@@ -217,8 +237,8 @@ def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
     return out[:, :seq_len, :] if padded else out
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
-def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "rowmax"))
+def _pallas_attention_packed(q, k, v, num_heads: int, scale: float, rowmax: bool = False):
     """Attention straight on the packed (B, L, D) projection layout.
 
     Head pairs are sliced by BlockSpec index maps (grid (B, nh/2, nq)) with
@@ -252,7 +272,8 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
     grid = (b, num_heads // 2, lp // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _attention_kernel_headpair, seq_len=seq_len, scale=scale, head_dim=hd
+            _attention_kernel_headpair, seq_len=seq_len, scale=scale, head_dim=hd,
+            rowmax=rowmax,
         ),
         grid=grid,
         in_specs=[
@@ -283,6 +304,190 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float):
     return out[:, :seq_len, :] if padded else out
 
 
+# ---------------------------------------------------------------------------
+# backward (flash-attention VJP for the packed kernel)
+# ---------------------------------------------------------------------------
+
+
+def _attention_bwd_kernel_headpair(
+    q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+    seq_len: int, scale: float, head_dim: int, block_q: int,
+):
+    """Recompute-based flash backward, two heads per program.
+
+    Grid (B, nh/2, nq): each program recomputes its (block_q, Lp) softmax
+    tile with the same shift-invariant exp2 scheme as the forward (exact for
+    any constant shift), emits its dQ block directly, and ACCUMULATES the
+    dK/dV partials into per-(batch, head-pair) output blocks — the q grid
+    dimension is absent from the dk/dv index maps, so the same block is
+    revisited across q steps ("arbitrary" semantics; initialised at q==0).
+
+    Standard flash algebra per q block:
+        P  = softmax(scale * q k^T)        (recomputed, never stored in HBM)
+        D  = rowsum(dO ∘ O)
+        dS = P ∘ (dP - D),  dP = dO V^T
+        dQ = scale * dS K,  dK += scale * dS^T Q,  dV += P^T dO
+
+    Garbage hygiene mirrors the forward kernel: K/V tail rows beyond seq_len
+    are zeroed (composed on-device operands carry XLA tile-padding garbage),
+    masked key columns get the -inf+shift row, and the boundary q block's
+    out-of-range Q/O/dO rows are zeroed so they contribute nothing to the
+    dK/dV accumulation."""
+    lp = k_ref.shape[1]
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    qscale = scale * _LOG2E
+    bq = q_ref.shape[1]
+    # validity of this block's q rows (global row < seq_len)
+    grows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    q_valid = grows < seq_len
+    kv_valid = None
+    if lp != seq_len:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), 0)
+        kv_valid = rows < seq_len
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
+    mask_row = jnp.where(cols < seq_len, -_SOFTMAX_SHIFT, -jnp.inf).astype(jnp.float32)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(2):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q_raw = jnp.where(q_valid, q_ref[0][:, sl], jnp.zeros((), q_ref.dtype))
+        o_blk = jnp.where(q_valid, o_ref[0][:, sl], jnp.zeros((), o_ref.dtype))
+        do_blk = jnp.where(q_valid, do_ref[0][:, sl], jnp.zeros((), do_ref.dtype))
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        if kv_valid is not None:
+            k = jnp.where(kv_valid, k, jnp.zeros((), k.dtype))
+            v = jnp.where(kv_valid, v, jnp.zeros((), v.dtype))
+
+        qs = (q_raw.astype(jnp.float32) * qscale).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + mask_row
+        p_un = jnp.exp2(s)  # f32 for gradient accuracy
+        denom = jnp.sum(p_un, axis=-1, keepdims=True)
+        p = p_un / denom  # (bq, Lp) normalised probabilities
+
+        d_row = jnp.sum(
+            do_blk.astype(jnp.float32) * o_blk.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, Lp)
+        ds = (p * (dp - d_row) * scale).astype(q_ref.dtype)
+
+        dq_parts.append(
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        )
+        # dS^T Q and P^T dO without explicit transposes: contract the bq dim
+        dk_parts.append(
+            jax.lax.dot_general(
+                ds, q_raw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dv_parts.append(
+            jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+
+    dq_ref[0] = jnp.concatenate(dq_parts, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = dk_ref[0] + jnp.concatenate(dk_parts, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = dv_ref[0] + jnp.concatenate(dv_parts, axis=-1).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def _pallas_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
+    """(dq, dk, dv) in float32 for the packed (B, L, D) layout."""
+    b, seq_len, d_model = q.shape
+    hd = d_model // num_heads
+    lp = _ceil_to(seq_len, 128)
+    # three resident f32 (block, Lp) tiles (P, dP, dS) instead of the
+    # forward's one — shrink the per-tile budget correspondingly
+    block_q = _pick_q_block(lp, _score_budget_bytes() // 4)
+    padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
+    if padded:  # interpreter lacks Mosaic's boundary masking (see forward)
+        q, k, v, o, do = (
+            jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q, k, v, o, do)
+        )
+    out_len = lp if padded else seq_len
+
+    grid = (b, num_heads // 2, lp // block_q)
+    blk = lambda bb, h, i: (bb, i, h)
+    whole = lambda bb, h, i: (bb, 0, h)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _attention_bwd_kernel_headpair,
+            seq_len=seq_len, scale=scale, head_dim=hd, block_q=block_q,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 2 * hd), blk, memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((1, lp, 2 * hd), whole, memory_space=pltpu.VMEM),      # k
+            pl.BlockSpec((1, lp, 2 * hd), whole, memory_space=pltpu.VMEM),      # v
+            pl.BlockSpec((1, block_q, 2 * hd), blk, memory_space=pltpu.VMEM),   # o
+            pl.BlockSpec((1, block_q, 2 * hd), blk, memory_space=pltpu.VMEM),   # do
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, 2 * hd), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, 2 * hd), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, 2 * hd), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the q dimension accumulates into the shared dk/dv blocks and
+            # must run sequentially
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * lp * lp * hd,
+            bytes_accessed=5 * b * lp * d_model * q.dtype.itemsize
+            + 3 * b * lp * d_model * 4,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, o, do)
+    if padded:
+        dq, dk, dv = (x[:, :seq_len, :] for x in (dq, dk, dv))
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_attention_diff(q, k, v, num_heads: int, scale: float, rowmax: bool):
+    """Packed Pallas attention with a flash-attention VJP: differentiated
+    paths (LoRA fine-tuning through the backbone) keep the kernel instead of
+    falling back to XLA attention + remat."""
+    return _pallas_attention_packed(q, k, v, num_heads, scale, rowmax=rowmax)
+
+
+def _packed_attention_diff_fwd(q, k, v, num_heads, scale, rowmax):
+    o = _pallas_attention_packed(q, k, v, num_heads, scale, rowmax=rowmax)
+    return o, (q, k, v, o)
+
+
+def _packed_attention_diff_bwd(num_heads, scale, rowmax, res, do):
+    q, k, v, o = res
+    dq, dk, dv = _pallas_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_packed_attention_diff.defvjp(_packed_attention_diff_fwd, _packed_attention_diff_bwd)
+
+
 def _xla_attention(q_h, k_h, v_h, scale: float):
     s = (
         jnp.einsum("bqd,bkd->bqk", q_h, k_h, preferred_element_type=jnp.float32)
@@ -305,13 +510,16 @@ _DIFFERENTIABLE_DEPTH = 0
 
 
 class differentiable_mode:
-    """Context manager: route attention (and the fused LN+QKV) through the
-    differentiable XLA paths instead of Pallas kernels.
+    """Context manager: trace a forward that will be differentiated.
 
-    The Pallas kernels have no VJP rules — ``jax.grad`` through them raises
-    on TPU.  Paths that differentiate through the backbone (LoRA adaptation)
-    must trace their forwards inside this context; inference/eval keeps the
-    kernels.  (Trace-time switch: the flag is read while jit traces.)"""
+    The packed attention kernel now carries its own flash-attention VJP
+    (:func:`_packed_attention_diff`) and STAYS on the Pallas path here; this
+    context only reroutes the kernels that have no VJP rule — the fused
+    LayerNorm+QKV (``ops/fused_layers.py``) and the per-head fallback
+    layout — to their differentiable XLA equivalents.  Paths that
+    differentiate through the backbone (LoRA adaptation) must trace their
+    forwards inside this context.  (Trace-time switch: the flag is read
+    while jit traces.)"""
 
     def __enter__(self):
         global _DIFFERENTIABLE_DEPTH
@@ -324,9 +532,8 @@ class differentiable_mode:
         return False
 
 
-def use_pallas() -> bool:
-    if _DIFFERENTIABLE_DEPTH > 0:
-        return False  # kernels have no VJP; see differentiable_mode
+def _pallas_available() -> bool:
+    """Hardware/interpreter gate alone, ignoring differentiability."""
     if _env_flag("UCOD_DISABLE_PALLAS"):
         return False
     if _interpret():
@@ -335,6 +542,16 @@ def use_pallas() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def use_pallas() -> bool:
+    """Gate for kernels WITHOUT a VJP rule (fused LN+QKV, per-head layout):
+    off inside differentiable_mode.  The packed attention path checks
+    :func:`_pallas_available` directly — its custom VJP makes it safe to
+    differentiate."""
+    if _DIFFERENTIABLE_DEPTH > 0:
+        return False
+    return _pallas_available()
 
 
 def tp_multi_head_attention(
@@ -383,8 +600,17 @@ def multi_head_attention(
     b, l, d_model = q.shape
     hd = d_model // num_heads
 
-    if use_pallas() and num_heads % 2 == 0 and (2 * hd) % 128 == 0:
-        return _pallas_attention_packed(q, k, v, num_heads, float(scale))
+    if (
+        _pallas_available()
+        and num_heads % 2 == 0
+        and (2 * hd) % 128 == 0
+        # UCOD_ATTN_XLA_VJP=1: debugging escape hatch — differentiated paths
+        # fall back to XLA attention instead of the flash VJP kernels
+        and not (_DIFFERENTIABLE_DEPTH > 0 and _env_flag("UCOD_ATTN_XLA_VJP"))
+    ):
+        return _packed_attention_diff(
+            q, k, v, num_heads, float(scale), _rowmax_softmax()
+        )
 
     def split(x):
         return (
