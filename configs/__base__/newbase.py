@@ -30,6 +30,11 @@ cfg = dict(
         up_sample=False,
         use_attention=False,
         conv_num=1,
+        # LoRA joint training of the backbone (the reference's full_model
+        # intent, full_model.py:47-72: peft r=2 alpha=4 on q/k/v).  Enable
+        # with --opts model_cfg.lora.enable True; saves adapters + a merged
+        # HF-layout backbone per checkpoint interval.
+        lora=dict(enable=False, rank=2, alpha=4.0, lr=1e-4, remat=True),
     ),
     val_cfg=dict(
         enable_val=True,

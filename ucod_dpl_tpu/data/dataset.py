@@ -193,12 +193,20 @@ class CODDataset:
             if pl_cache.mode == "r" and len(pl_cache) > index:
                 pseudo_label = _to_hwc(pl_cache.read(index))
 
-        return {
+        item = {
             "pseudo_label": pseudo_label,
             "label": label,
             "features": features,
             "img_path": str(self.image_paths[index]),
         }
+        if self.set_cfg.get("require_pixels", False):
+            # normalised image pixels for live-backbone training paths
+            # (LoRA adaptation differentiates THROUGH the backbone, so the
+            # cached key features cannot be used as inputs there)
+            item["pixels"] = self._load_image_array(self.image_paths[index]).astype(
+                np.float32
+            )
+        return item
 
 
 @DATASETS.register()

@@ -73,6 +73,35 @@ class TrainLoop:
             make_discriminator_step(cfg, self.dis_optimizer), donate_argnums=(0,)
         )
 
+        # LoRA joint training (model_cfg.lora.enable): adapters on the
+        # backbone's q/k/v trained alongside the decoder from live pixels
+        lc = cfg.model_cfg.get("lora", {})
+        self.lora_enabled = bool(lc.get("enable", False))
+        if self.lora_enabled:
+            from ucod_dpl_tpu.models.lora import init_lora
+
+            from .train_step import make_lora_train_step
+
+            fe = runner.feature_extractor
+            self.lora_optimizer = make_optimizer(
+                lc.get("lr", 1e-4),
+                tc.get("step_lr_gamma", 0.95),
+                tc.get("step_lr_size", 25),
+            )
+            self.lora_params = init_lora(
+                jax.random.PRNGKey(cfg.get("seed", 42) + 3),
+                fe.params,
+                rank=int(lc.get("rank", 2)),
+            )
+            self.lora_opt_state = self.lora_optimizer.init(self.lora_params)
+            self._lora_step = jax.jit(
+                make_lora_train_step(
+                    cfg, self.optimizer, self.lora_optimizer, fe.config,
+                    fe.compute_dtype,
+                ),
+                donate_argnums=(0, 1, 2),
+            )
+
         self.state = TrainState(
             decoder=runner.decoder_params,
             decoder_ema=runner.decoder_ema_params,
@@ -109,9 +138,8 @@ class TrainLoop:
         )
 
     # ------------------------------------------------------------------
-    def _device_batch(self, batch):
+    def _device_batch(self, batch, need_features: bool = True):
         mesh = self.runner.mesh
-        features = np.asarray(batch["features"], dtype=np.float32)
         plabels = batch["pseudo_label"]
         # collate passes Nones/raggeds through as a list -> no usable cache
         if plabels is None or isinstance(plabels, list):
@@ -120,9 +148,16 @@ class TrainLoop:
                 "scripts/generate_pseudo_label.py first."
             )
         plabels = np.asarray(plabels, dtype=np.float32)
-        bs = features.shape[0]
+        bs = plabels.shape[0]
+        features = None
+        if need_features:  # LoRA batches ship pixels instead — skip the
+            # (large) cached-feature host->device transfer entirely
+            features = np.asarray(batch["features"], dtype=np.float32)
+            features = jax.device_put(
+                features, data_sharding(mesh, features.ndim, batch_size=bs)
+            )
         return (
-            jax.device_put(features, data_sharding(mesh, features.ndim, batch_size=bs)),
+            features,
             jax.device_put(plabels, data_sharding(mesh, plabels.ndim, batch_size=bs)),
         )
 
@@ -188,6 +223,8 @@ class TrainLoop:
             if epoch >= self.save_start and epoch % self.save_interval == 0:
                 self._sync_runner_params()
                 self.runner.save_checkpoint(epoch)
+                if self.lora_enabled:
+                    self._save_lora(epoch)
                 if self.save_mode == "all":
                     from .checkpoint import save_train_state
 
@@ -215,6 +252,23 @@ class TrainLoop:
         if self.best_result is not None:
             logger.log(f"Best result: {self.best_result}")
 
+    def _save_lora(self, epoch: int) -> None:
+        """Adapters + the densely-merged backbone (HF layout): eval/serving
+        consume the merged file through the ordinary ``backbone_weights``
+        path at base-model inference cost."""
+        from ucod_dpl_tpu.models.lora import save_lora_checkpoint, save_merged_backbone
+
+        lc = self.cfg.model_cfg.lora
+        fe = self.runner.feature_extractor
+        adapters = f"{self.runner.ckp_dir}/lora_epoch{epoch}.safetensors"
+        merged = f"{self.runner.ckp_dir}/backbone_merged_epoch{epoch}.safetensors"
+        save_lora_checkpoint(adapters, self.lora_params)
+        save_merged_backbone(
+            merged, fe.params, self.lora_params, fe.config,
+            rank=int(lc.get("rank", 2)), alpha=float(lc.get("alpha", 4.0)),
+        )
+        self.runner.logger.log(f"Saved LoRA adapters {adapters} + merged backbone {merged}")
+
     def _enter_finetune(self) -> None:
         """Finetune switch (loop:100-103, runner.start_finetune): fresh
         optimizer states (LR schedules restart at lr0), EMA ramp reset,
@@ -234,10 +288,27 @@ class TrainLoop:
         n = 0
         last_aux = None
         for batch in self.runner.train_dataloader:
-            features, plabels = self._device_batch(batch)
-            self.state, aux = self._train_step(
-                self.state, features, plabels, jnp.float32(epoch), jnp.float32(adv)
+            features, plabels = self._device_batch(
+                batch, need_features=not self.lora_enabled
             )
+            if self.lora_enabled:
+                pixels = np.asarray(batch["pixels"], dtype=np.float32)
+                mesh = self.runner.mesh
+                pixels = jax.device_put(
+                    pixels,
+                    data_sharding(mesh, pixels.ndim, batch_size=pixels.shape[0]),
+                )
+                (
+                    self.state, self.lora_params, self.lora_opt_state, aux,
+                ) = self._lora_step(
+                    self.state, self.lora_params, self.lora_opt_state,
+                    self.runner.feature_extractor.params, pixels, plabels,
+                    jnp.float32(epoch), jnp.float32(adv),
+                )
+            else:
+                self.state, aux = self._train_step(
+                    self.state, features, plabels, jnp.float32(epoch), jnp.float32(adv)
+                )
             last_aux = aux
             n += 1
             if n % max(self.log_interval, 1) == 0:

@@ -78,6 +78,69 @@ def _to_feature_size(x: jnp.ndarray, size: int) -> jnp.ndarray:
     )
 
 
+def _stage1_decoder_loss(
+    dec_params,
+    state: TrainState,
+    f: jnp.ndarray,  # (B, fs, fs, C) features at feature_size
+    pl: jnp.ndarray,  # (B, fs, fs, 1) pseudo-labels at feature_size
+    teacher_bin: jnp.ndarray,
+    epoch: jnp.ndarray,
+    adv_coeff: jnp.ndarray,
+    use_dis_merge: bool,
+    denom: float,
+    f_apm: jnp.ndarray = None,
+):
+    """The stage-1 student loss (loop:164-173 + merge_pseudo_label
+    loop:257-272) — shared between the cached-feature step and the
+    live-backbone LoRA step.
+
+    ``f_apm``: features fed to the discriminator/APM (defaults to ``f``).
+    The LoRA step passes stop_gradient(f) here — the APM merge produces the
+    training TARGET, and a target must not backpropagate into the live
+    backbone (with cached features, as in the reference, no gradient can
+    flow there anyway)."""
+    if f_apm is None:
+        f_apm = f
+    fg, bg_rev, ortho = rev_decoder_forward(dec_params, f, with_loss=True)
+
+    if use_dis_merge:
+        # APM: discriminator-scored blend of fixed pseudo-labels and
+        # teacher predictions (merge_pseudo_label, loop:257-272).
+        student_bin = jax.lax.stop_gradient(
+            (jax.nn.sigmoid(fg) > 0.5).astype(jnp.float32)
+        )
+        p_s, _ = discriminator_forward(
+            state.dis_params, state.dis_stats, student_bin, f_apm
+        )
+        p_p, _ = discriminator_forward(
+            state.dis_params, state.dis_stats, (pl > 0.5).astype(jnp.float32), f_apm
+        )
+        w = 0.5 * (1.0 + jnp.cos(jnp.abs(p_s - p_p) * jnp.pi)) + epoch / denom
+        w = jnp.clip(w, 0.0, 1.0)[:, :, None, None]  # (B,1,1,1)
+        merged = pl * (1.0 - w) + teacher_bin * w
+        dis_loss = bce_probs(p_s, jnp.zeros_like(p_s))
+    else:
+        merged = pl
+        dis_loss = jnp.float32(0.0)
+        w = jnp.zeros((1, 1, 1, 1))
+        p_s = p_p = jnp.zeros((1, 1))
+
+    loss = bce_with_logits(fg, merged)
+    # adversarial term: gradient-free through the binarisation, kept
+    # for loss parity with the reference (loop:167-169)
+    loss = loss - adv_coeff * dis_loss
+    loss = loss + bce_with_logits(bg_rev, 1.0 - merged)
+    loss = loss + ortho
+    aux = {
+        "dis_loss": dis_loss,
+        "ortho_loss": ortho,
+        "merge_weight": jnp.mean(w),
+        "p_s": jnp.mean(p_s),
+        "p_p": jnp.mean(p_p),
+    }
+    return loss, aux
+
+
 def make_train_step(cfg, optimizer: optax.GradientTransformation):
     """Build the jitted stage-1 train step."""
     feature_size = cfg.model_cfg.feature_size
@@ -99,44 +162,10 @@ def make_train_step(cfg, optimizer: optax.GradientTransformation):
         teacher_bin = (jax.nn.sigmoid(teacher_fg) > 0.5).astype(jnp.float32)
 
         def loss_fn(dec_params):
-            fg, bg_rev, ortho = rev_decoder_forward(dec_params, f, with_loss=True)
-
-            if use_dis_merge:
-                # APM: discriminator-scored blend of fixed pseudo-labels and
-                # teacher predictions (merge_pseudo_label, loop:257-272).
-                student_bin = jax.lax.stop_gradient(
-                    (jax.nn.sigmoid(fg) > 0.5).astype(jnp.float32)
-                )
-                p_s, _ = discriminator_forward(
-                    state.dis_params, state.dis_stats, student_bin, f
-                )
-                p_p, _ = discriminator_forward(
-                    state.dis_params, state.dis_stats, (pl > 0.5).astype(jnp.float32), f
-                )
-                w = 0.5 * (1.0 + jnp.cos(jnp.abs(p_s - p_p) * jnp.pi)) + epoch / denom
-                w = jnp.clip(w, 0.0, 1.0)[:, :, None, None]  # (B,1,1,1)
-                merged = pl * (1.0 - w) + teacher_bin * w
-                dis_loss = bce_probs(p_s, jnp.zeros_like(p_s))
-            else:
-                merged = pl
-                dis_loss = jnp.float32(0.0)
-                w = jnp.zeros((1, 1, 1, 1))
-                p_s = p_p = jnp.zeros((1, 1))
-
-            loss = bce_with_logits(fg, merged)
-            # adversarial term: gradient-free through the binarisation, kept
-            # for loss parity with the reference (loop:167-169)
-            loss = loss - adv_coeff * dis_loss
-            loss = loss + bce_with_logits(bg_rev, 1.0 - merged)
-            loss = loss + ortho
-            aux = {
-                "dis_loss": dis_loss,
-                "ortho_loss": ortho,
-                "merge_weight": jnp.mean(w),
-                "p_s": jnp.mean(p_s),
-                "p_p": jnp.mean(p_p),
-            }
-            return loss, aux
+            return _stage1_decoder_loss(
+                dec_params, state, f, pl, teacher_bin, epoch, adv_coeff,
+                use_dis_merge, denom,
+            )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.decoder)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.decoder)
@@ -157,6 +186,95 @@ def make_train_step(cfg, optimizer: optax.GradientTransformation):
         )
         aux["loss"] = loss
         return new_state, aux
+
+    return step
+
+
+def make_lora_train_step(
+    cfg,
+    optimizer: optax.GradientTransformation,
+    lora_optimizer: optax.GradientTransformation,
+    dino_cfg,
+    compute_dtype,
+):
+    """Stage-1 train step with a live LoRA-adapted backbone.
+
+    The working realisation of the reference's broken end-to-end intent
+    (``models/modules/full_model.py:47-72`` — peft r=2 alpha=4 on q/k/v):
+    pixels -> LoRA-adapted DINO key features -> the same stage-1 student
+    loss; gradients flow to BOTH the decoder and the adapters (the dense
+    backbone stays frozen via stop_gradient).  The backbone forward keeps
+    the packed Pallas attention (its flash VJP, ops/attention.py) and
+    rematerialises layer activations.
+    """
+    feature_size = cfg.model_cfg.feature_size
+    ema_weight = cfg.model_cfg.ema_weight
+    use_dis_merge = cfg.train_cfg.get("merge_method", "dis") == "dis"
+    denom = cfg.train_cfg.max_epoch + cfg.train_cfg.get("start_finetune", -5)
+    lc = cfg.model_cfg.lora
+    rank = int(lc.get("rank", 2))
+    alpha = float(lc.get("alpha", 4.0))
+    remat = bool(lc.get("remat", True))
+
+    from ucod_dpl_tpu.models.lora import lora_forward
+
+    def step(
+        state: TrainState,
+        lora_params,
+        lora_opt_state,
+        backbone_params,
+        pixels: jnp.ndarray,  # (B, H, W, 3) normalised images
+        pseudo_labels: jnp.ndarray,
+        epoch: jnp.ndarray,
+        adv_coeff: jnp.ndarray,
+    ):
+        pl = _to_feature_size(pseudo_labels.astype(jnp.float32), feature_size)
+
+        def loss_fn(params):
+            dec_params, lora_p = params
+            out = lora_forward(
+                jax.lax.stop_gradient(backbone_params), lora_p, pixels,
+                dino_cfg, rank=rank, alpha=alpha,
+                compute_dtype=compute_dtype, remat=remat,
+            )
+            f = _to_feature_size(out["key_features"].astype(jnp.float32), feature_size)
+            f_sg = jax.lax.stop_gradient(f)
+            teacher_fg, _, _ = rev_decoder_forward(
+                state.decoder_ema, f_sg, with_loss=False
+            )
+            teacher_bin = (jax.nn.sigmoid(teacher_fg) > 0.5).astype(jnp.float32)
+            return _stage1_decoder_loss(
+                dec_params, state, f, pl, teacher_bin, epoch, adv_coeff,
+                use_dis_merge, denom, f_apm=f_sg,
+            )
+
+        (loss, aux), (dec_grads, lora_grads) = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )((state.decoder, lora_params))
+
+        updates, new_opt_state = optimizer.update(
+            dec_grads, state.opt_state, state.decoder
+        )
+        new_decoder = optax.apply_updates(state.decoder, updates)
+        l_updates, new_lora_opt = lora_optimizer.update(
+            lora_grads, lora_opt_state, lora_params
+        )
+        new_lora = optax.apply_updates(lora_params, l_updates)
+
+        alpha_ema = jnp.minimum(1.0 - 1.0 / (state.ema_step + 1.0), ema_weight)
+        new_ema = jax.tree.map(
+            lambda e, p: alpha_ema * e + (1.0 - alpha_ema) * p,
+            state.decoder_ema, new_decoder,
+        )
+        new_state = state._replace(
+            decoder=new_decoder,
+            decoder_ema=new_ema,
+            opt_state=new_opt_state,
+            ema_step=state.ema_step + 2,
+        )
+        aux["loss"] = loss
+        aux["lora_grad_norm"] = optax.global_norm(lora_grads)
+        return new_state, new_lora, new_lora_opt, aux
 
     return step
 

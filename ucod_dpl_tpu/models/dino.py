@@ -193,6 +193,68 @@ def convert_hf_state_dict(sd: Dict[str, np.ndarray], cfg: DinoConfig) -> Dict[st
     return params
 
 
+def export_hf_state_dict(params: Dict[str, Any], cfg: DinoConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_hf_state_dict`: our params pytree -> a
+    HuggingFace-layout numpy state dict (Dinov2Model / ViTModel key names).
+    Round-trips bit-exactly through ``convert_hf_state_dict`` — used to
+    export LoRA-merged backbones as standard HF checkpoints that
+    ``load_hf_checkpoint`` (and HF itself) can consume."""
+
+    def n(x):
+        return np.asarray(x, dtype=np.float32)
+
+    if cfg.variant == "dinov2":
+        norm1, norm2 = "norm1", "norm2"
+        fc1, fc2 = "mlp.fc1", "mlp.fc2"
+    else:
+        norm1, norm2 = "layernorm_before", "layernorm_after"
+        fc1, fc2 = "intermediate.dense", "output.dense"
+
+    sd: Dict[str, np.ndarray] = {
+        # ascontiguousarray matters: safetensors serialises the raw buffer,
+        # so a transpose VIEW would be written with its pre-transpose layout
+        "embeddings.patch_embeddings.projection.weight": np.ascontiguousarray(
+            np.transpose(n(params["patch_embed"]["kernel"]), (3, 2, 0, 1))  # HWIO -> OIHW
+        ),
+        "embeddings.patch_embeddings.projection.bias": n(params["patch_embed"]["bias"]),
+        "embeddings.cls_token": n(params["cls_token"]),
+        "embeddings.position_embeddings": n(params["pos_embed"]),
+        "layernorm.weight": n(params["final_norm"]["scale"]),
+        "layernorm.bias": n(params["final_norm"]["bias"]),
+    }
+
+    def put_lin(prefix, p):
+        sd[f"{prefix}.weight"] = n(p["w"]).T.copy()
+        sd[f"{prefix}.bias"] = n(p["b"])
+
+    def put_ln(prefix, p):
+        sd[f"{prefix}.weight"] = n(p["scale"])
+        sd[f"{prefix}.bias"] = n(p["bias"])
+
+    for i, layer in enumerate(params["layers"]):
+        p = f"encoder.layer.{i}"
+        put_ln(f"{p}.{norm1}", layer["norm1"])
+        put_lin(f"{p}.attention.attention.query", layer["q"])
+        put_lin(f"{p}.attention.attention.key", layer["k"])
+        put_lin(f"{p}.attention.attention.value", layer["v"])
+        put_lin(f"{p}.attention.output.dense", layer["out"])
+        put_ln(f"{p}.{norm2}", layer["norm2"])
+        put_lin(f"{p}.{fc1}", layer["fc1"])
+        put_lin(f"{p}.{fc2}", layer["fc2"])
+        if cfg.use_layerscale:
+            sd[f"{p}.layer_scale1.lambda1"] = n(layer["ls1"])
+            sd[f"{p}.layer_scale2.lambda1"] = n(layer["ls2"])
+    return sd
+
+
+def save_hf_checkpoint(path: str, params: Dict[str, Any], cfg: DinoConfig) -> None:
+    """Write the params pytree as a HF-layout .safetensors file."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(export_hf_state_dict(params, cfg), path)
+
+
 def load_hf_checkpoint(path: str, cfg: DinoConfig) -> Dict[str, Any]:
     """Load params from a local HuggingFace checkpoint directory/file
     (model.safetensors or pytorch_model.bin)."""
@@ -428,7 +490,9 @@ def dino_forward(
         if is_last and key_fold is not None:
             h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
             fw, fb = key_fold
-            folded = jnp.dot(h, fw.astype(dtype)) + fb.astype(dtype)
+            # mirror _dense's accumulation contract: f32 accumulation in the
+            # f32 parity path (default TPU f32 matmuls drop to bf16 passes)
+            folded = _dense(h, {"w": fw, "b": fb}, dtype)
             out["folded_features"] = folded[:, 1:, :].reshape(b, gh, gw, fw.shape[-1])
             return out
         x, aux = run_layer(x, layer, is_last)

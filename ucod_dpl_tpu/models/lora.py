@@ -75,9 +75,9 @@ def lora_forward(dino_params, lora, pixels, cfg, rank: int = 2, alpha: float = 4
     ``jax.lax.stop_gradient`` by the caller (the base stays frozen).
 
     Traced inside :class:`~ucod_dpl_tpu.ops.attention.differentiable_mode`:
-    the Pallas attention / fused-LN kernels have no VJP rules, so the
-    adaptation path uses the XLA formulations (identical math) — inference
-    through the *merged* weights keeps the fast kernels."""
+    the packed Pallas attention KEEPS its kernel (it carries a flash
+    backward, ``ops/attention.py::_pallas_attention_packed_bwd``); only the
+    VJP-less fused LayerNorm+QKV reroutes to its XLA equivalent."""
     from ucod_dpl_tpu.models.dino import dino_forward
     from ucod_dpl_tpu.ops.attention import differentiable_mode
 
@@ -85,3 +85,59 @@ def lora_forward(dino_params, lora, pixels, cfg, rank: int = 2, alpha: float = 4
         return dino_forward(
             apply_lora(dino_params, lora, rank, alpha), pixels, cfg, **kwargs
         )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint IO
+# ---------------------------------------------------------------------------
+
+
+def save_lora_checkpoint(path: str, lora: List[Dict[str, Any]]) -> None:
+    """Adapters as safetensors with flat keys ``layers.{i}.{q|k|v}.{a|b}``."""
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    flat = {}
+    for i, entry in enumerate(lora):
+        for t in _TARGETS:
+            for name in ("a", "b"):
+                flat[f"layers.{i}.{t}.{name}"] = np.asarray(
+                    entry[t][name], dtype=np.float32
+                )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_file(flat, path)
+
+
+def load_lora_checkpoint(path: str) -> List[Dict[str, Any]]:
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    n_layers = 1 + max(int(k.split(".")[1]) for k in flat)
+    return [
+        {
+            t: {
+                "a": jnp.asarray(flat[f"layers.{i}.{t}.a"]),
+                "b": jnp.asarray(flat[f"layers.{i}.{t}.b"]),
+            }
+            for t in _TARGETS
+        }
+        for i in range(n_layers)
+    ]
+
+
+def save_merged_backbone(
+    path: str,
+    dino_params: Dict[str, Any],
+    lora: List[Dict[str, Any]],
+    cfg,
+    rank: int = 2,
+    alpha: float = 4.0,
+) -> None:
+    """Merge the adapters densely and export as a standard HF-layout
+    safetensors checkpoint: serving/eval load it through the ordinary
+    ``backbone_weights`` path at exactly the base model's inference cost."""
+    from ucod_dpl_tpu.models.dino import save_hf_checkpoint
+
+    save_hf_checkpoint(path, apply_lora(dino_params, lora, rank, alpha), cfg)
