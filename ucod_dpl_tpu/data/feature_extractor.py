@@ -40,10 +40,14 @@ def _candidate_weight_paths(fe_cfg) -> list:
 
 
 @functools.lru_cache(maxsize=16)
-def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
+def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool, tp_shard=None):
     """Module-level cached jit builder: extractors are constructed per
     Runner (one per dataset in scripts/eval.py) and per-instance jit caches
-    would re-trace + re-hit the compilation cache on every dataset."""
+    would re-trace + re-hit the compilation cache on every dataset.
+
+    ``tp_shard``: optional ``(Mesh, axis_name)`` — tensor-parallel backbone
+    (Megatron column/row-sharded projections + shard_map head-local
+    attention).  Mesh is hashable, so it participates in the cache key."""
     # Outputs stay in the COMPUTE dtype on the wire: on TPU the key
     # projection's bf16 epilogue means the f32 values are exact upcasts of
     # bf16 — casting on device would double the device-to-host bytes for
@@ -59,6 +63,7 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
                 cfg=config,
                 want_cls_attention=True,
                 compute_dtype=compute_dtype,
+                tp_shard=tp_shard,
             )
             return (
                 out["key_tokens"],
@@ -70,7 +75,8 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool):
 
         def fwd(params, pixels):
             out = dino_forward(
-                params, pixels, cfg=config, compute_dtype=compute_dtype
+                params, pixels, cfg=config, compute_dtype=compute_dtype,
+                tp_shard=tp_shard,
             )
             return out["key_features"]
 
@@ -86,10 +92,17 @@ class FeatureExtractor:
         compute_dtype: Optional[jnp.dtype] = None,
         seed: int = 0,
         strict: Optional[bool] = None,
+        mesh=None,
     ):
         """``strict`` (or ``fe_cfg.strict_weights``): missing pretrained
         weights raise instead of silently falling back to random init — a
-        silent fallback is a quality catastrophe in serving/eval contexts."""
+        silent fallback is a quality catastrophe in serving/eval contexts.
+
+        ``mesh``: the runner's device mesh.  When its ``model`` axis is >1
+        the backbone runs TENSOR-PARALLEL — params sharded Megatron-style
+        (``parallel/tp.py``), head-local shard_map attention — and batches
+        are sharded over the ``data`` axis; config surface:
+        ``tpu_cfg.mesh = {"data": N, "model": M}``."""
         self.fe_cfg = fe_cfg
         self.strict = fe_cfg.get("strict_weights", False) if strict is None else strict
         self.config = DinoConfig.from_type(fe_cfg.type)
@@ -104,7 +117,24 @@ class FeatureExtractor:
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
             )
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self.tp_shard = None
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            self.tp_shard = (mesh, "model")
+            if self.config.num_heads % mesh.shape["model"]:
+                raise ValueError(
+                    f"{self.config.num_heads} attention heads not divisible "
+                    f"by tpu_cfg.mesh model={mesh.shape['model']}"
+                )
         self.params = self._load_params(seed)
+        if self.tp_shard is not None:
+            from ucod_dpl_tpu.parallel.tp import shard_dino_params
+
+            self.params = shard_dino_params(self.params, mesh)
+            self.logger.log(
+                f"FeatureExtractor: tensor-parallel backbone over "
+                f"model={mesh.shape['model']} (x data={mesh.shape.get('data', 1)})"
+            )
 
     def _load_params(self, seed: int):
         for cand in _candidate_weight_paths(self.fe_cfg):
@@ -135,7 +165,21 @@ class FeatureExtractor:
         inside the jit boundary lets XLA dead-code-eliminate everything after
         the last block's key projection (its attention/MLP, the final
         layernorm) on the feature-extraction path."""
-        return _make_extract_fn(self.config, self.compute_dtype, want_attn)
+        return _make_extract_fn(
+            self.config, self.compute_dtype, want_attn, self.tp_shard
+        )
+
+    def _put_pixels(self, images_nhwc: np.ndarray):
+        """Host batch -> device, sharded over the mesh's data axis when a
+        multi-device mesh is attached (DP x TP composition)."""
+        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+            from ucod_dpl_tpu.parallel.mesh import data_sharding
+
+            arr = np.asarray(images_nhwc)
+            return jax.device_put(
+                arr, data_sharding(self.mesh, arr.ndim, batch_size=arr.shape[0])
+            )
+        return jnp.asarray(images_nhwc)
 
     @staticmethod
     def _to_host_f32(device_arr, what: str) -> np.ndarray:
@@ -156,7 +200,7 @@ class FeatureExtractor:
         """(B, H, W, 3) normalised images -> (B, h, w, hidden) float32 key
         features on host (transferred in the compute dtype — exact, see
         :func:`_make_extract_fn`)."""
-        out = self._forward(False)(self.params, jnp.asarray(images_nhwc))
+        out = self._forward(False)(self.params, self._put_pixels(images_nhwc))
         return self._to_host_f32(out, "features")
 
     def extract_with_attention(
@@ -164,7 +208,7 @@ class FeatureExtractor:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns host float32 (key_tokens (B,1+N,C), key_features NHWC,
         cls_attention (B, nh, 1+N)) — the pseudo-label generator contract."""
-        toks, feats, attn = self._forward(True)(self.params, jnp.asarray(images_nhwc))
+        toks, feats, attn = self._forward(True)(self.params, self._put_pixels(images_nhwc))
         return (
             self._to_host_f32(toks, "key tokens"),
             np.asarray(feats).astype(np.float32, copy=False),

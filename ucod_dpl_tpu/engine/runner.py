@@ -71,9 +71,13 @@ class Runner:
             ranks=cfg.log_cfg.get("multi_rank", [0]),
         )
         self.mesh = build_mesh(cfg.get("tpu_cfg", {}).get("mesh"))
+        # mesh plumbed through: tpu_cfg.mesh = {"data": N, "model": M>1}
+        # runs the backbone tensor-parallel (parallel/tp.py) on eval, cache
+        # build, LookTwice crops and serving — not just bespoke scripts
         self.feature_extractor = FeatureExtractor(
             cfg.dataset_cfg.feature_extractor_cfg,
             compute_dtype=resolve_compute_dtype(cfg),
+            mesh=self.mesh,
         )
         self._build_model(load_from)
         self._build_dataloaders()
@@ -113,6 +117,9 @@ class Runner:
 
         dc = self.cfg.dataset_cfg
         ds_cls = DATASETS.get(set_cfg.get("type", "USCODDataset"))
+        extra = {}
+        if "cache_build_batch" in set_cfg:  # optional device-batch override
+            extra["cache_build_batch"] = int(set_cfg["cache_build_batch"])
         return ds_cls(
             set_cfg,
             dc.feature_extractor_cfg,
@@ -124,6 +131,7 @@ class Runner:
             require_label=set_cfg.get("require_label", False),
             feature_extractor=self.feature_extractor,
             logger=self.logger,
+            **extra,
         )
 
     def _build_dataloaders(self) -> None:
@@ -136,6 +144,10 @@ class Runner:
         self.train_dataset = self.train_dataloader = None
         self.val_dataset = self.val_dataloader = None
         if self.mode == "train":
+            if self.cfg.model_cfg.get("lora", {}).get("enable", False):
+                # LoRA trains THROUGH the backbone: batches must carry the
+                # normalised pixels, not just cached features
+                dc.trainset_cfg.require_pixels = True
             self.train_dataset = self._make_dataset(dc.trainset_cfg, "train", keep_size=False)
             tl = dc.trainloader_cfg
             self.train_dataloader = DataLoader(
@@ -260,6 +272,9 @@ class LocalRefineRunner(Runner):
         ds_cls = DATASETS.get(set_cfg.get("type", "LRDataset"))
         if ds_cls is CODDataset:  # stage 2 needs the patch-capable dataset
             ds_cls = LRDataset
+        extra = {}
+        if "cache_build_batch" in set_cfg:  # optional device-batch override
+            extra["cache_build_batch"] = int(set_cfg["cache_build_batch"])
         return ds_cls(
             set_cfg,
             dc.feature_extractor_cfg,
@@ -273,6 +288,7 @@ class LocalRefineRunner(Runner):
             logger=self.logger,
             window_size=self.cfg.model_cfg.get("window_size", 3),
             require_m_patches=set_cfg.get("require_m_patches", ds_mode == "train"),
+            **extra,
         )
 
     def launch_val(self) -> Dict[str, float]:
