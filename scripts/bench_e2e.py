@@ -94,10 +94,15 @@ def main():
             compute_dtype=resolve_compute_dtype(cfg),
         )
         size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
-        # warm the exact batch shape the cache build will compile
-        warm_bs = inspect.signature(CODDataset.__init__).parameters[
-            "cache_build_batch"
-        ].default
+        # warm the exact batch shape the cache build will compile: the
+        # resolved config's override wins (runner._make_dataset passes it),
+        # falling back to the constructor default
+        warm_bs = cfg.dataset_cfg.valset_cfg.get(
+            "cache_build_batch",
+            inspect.signature(CODDataset.__init__).parameters[
+                "cache_build_batch"
+            ].default,
+        )
         fe_warm.extract(np.zeros((warm_bs, *size, 3), np.float32))
         del fe_warm  # drop the duplicate backbone params (~330MB HBM)
 
