@@ -73,8 +73,21 @@ def gather_ragged(local: List[Any]) -> List[Any]:
 
     arrays = [np.asarray(x, dtype=np.float64) for x in local]
     shape = arrays[0].shape if arrays else ()
-    counts = multihost_utils.process_allgather(np.array([len(arrays)], np.int32))
-    counts = np.asarray(counts).reshape(-1)
+    # counts AND per-item shape exchanged up front: a zero-item process
+    # (dataset smaller than the process count) has no local shape, and an
+    # allgather with mismatched payload shapes would fail — every process
+    # must agree on the padded payload geometry before building it
+    ndim = np.zeros((8,), np.int32)
+    ndim[0] = len(arrays)
+    ndim[1] = len(shape)
+    ndim[2 : 2 + len(shape)] = shape
+    meta = np.asarray(multihost_utils.process_allgather(ndim)).reshape(-1, 8)
+    counts = meta[:, 0]
+    have = meta[meta[:, 0] > 0]
+    if have.size == 0:
+        return []
+    rank = int(have[0, 1])
+    shape = tuple(int(s) for s in have[0, 2 : 2 + rank])
     maxc = int(counts.max())
     payload = np.zeros((maxc,) + shape, np.float64)
     if arrays:
