@@ -93,14 +93,16 @@ def _train_cfg():
     )
 
 
-def _init_state(cfg, optimizer, dis_optimizer, seed=0):
+def _init_state(cfg, optimizer, dis_optimizer, seed=0, dim=None, fs=None):
     from ucod_dpl_tpu.models import init_discriminator
     from ucod_dpl_tpu.models.dba import init_rev_decoder
 
+    dim = DIM if dim is None else dim
+    fs = FS if fs is None else fs
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-    dec = init_rev_decoder(k1, DIM)
-    ema = init_rev_decoder(k2, DIM)
-    dis_p, dis_s = init_discriminator(k3, feature_size=FS, feature_dim=DIM, use_features=False)
+    dec = init_rev_decoder(k1, dim)
+    ema = init_rev_decoder(k2, dim)
+    dis_p, dis_s = init_discriminator(k3, feature_size=fs, feature_dim=dim, use_features=False)
     return TrainState(
         decoder=dec,
         decoder_ema=ema,

@@ -30,7 +30,7 @@ import optax
 
 from ucod_dpl_tpu.models.dba import rev_decoder_forward
 from ucod_dpl_tpu.models.udlr import (
-    refiner_distillation_loss,
+    refiner_train_loss,
     sparse_refiner_forward,
 )
 from ucod_dpl_tpu.ops import interpolate_bilinear
@@ -273,7 +273,10 @@ class LocalRefineTrainLoop:
             h_targets = jax.lax.stop_gradient(
                 (jax.nn.sigmoid(tgt_logits) > 0.5).astype(jnp.float32)
             )
-            loss = refiner_distillation_loss(out, preds, h_targets, window_size=ws)
+            # shipped window-level distillation + the GE ensemble term —
+            # without the latter the fuser gets no gradient at all (see
+            # models/udlr.py::refiner_ensemble_loss)
+            loss = refiner_train_loss(out, preds, h_targets, window_size=ws)
             return loss
 
         @jax.jit

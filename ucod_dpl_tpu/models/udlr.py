@@ -279,6 +279,58 @@ def refiner_distillation_loss(
     return jnp.sum(per_elem * sel) / (num_sel * h * w) / 2.0
 
 
+def refiner_ensemble_loss(
+    out: RefinerOutput,
+    coarse_preds: jnp.ndarray,  # (B, h, w, 1)
+    h_targets: jnp.ndarray,  # (B*ws^2, h, w, 1)
+    window_size: int,
+) -> jnp.ndarray:
+    """Output-level BCE for the GatedEnsembler.
+
+    The shipped distillation loss (cal_ex_loss, UDLR.py:52-75) supervises
+    only the per-window predictions — the GE fuser receives NO gradient from
+    it and would stay at random init in a trainer built on it alone (found
+    empirically by test_learnability.py::test_stage2_refiner_beats_coarse).
+    The upstream trainer was never released, so how GE trained is undefined;
+    this term completes our trainer: the fused output is pushed toward the
+    composite target — high-res window targets where windows were selected,
+    the binarised coarse prediction elsewhere."""
+    ws = window_size
+    b = coarse_preds.shape[0]
+    n, h, w, _ = out.window_preds.shape
+
+    tiles_t = h_targets.reshape(b, ws, ws, h, w, 1)
+    canvas_t = tiles_t.transpose(0, 1, 3, 2, 4, 5).reshape(b, ws * h, ws * w, 1)
+
+    up = interpolate_bilinear(
+        jnp.transpose(coarse_preds, (0, 3, 1, 2)), (h * ws, w * ws)
+    )
+    coarse_bin = (jax.nn.sigmoid(up) > 0.5).astype(jnp.float32).transpose(0, 2, 3, 1)
+
+    selmap = out.mask.reshape(b, ws, ws, 1, 1).astype(jnp.float32)
+    selmap = jnp.broadcast_to(selmap, (b, ws, ws, h, w)).transpose(
+        0, 1, 3, 2, 4
+    ).reshape(b, ws * h, ws * w, 1)
+    target = jax.lax.stop_gradient(selmap * canvas_t + (1.0 - selmap) * coarse_bin)
+
+    x = out.outputs
+    bce = jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.mean(bce)
+
+
+def refiner_train_loss(
+    out: RefinerOutput,
+    coarse_preds: jnp.ndarray,
+    h_targets: jnp.ndarray,
+    window_size: int,
+) -> jnp.ndarray:
+    """The full stage-2 trainer objective: shipped window-level distillation
+    + the GE ensemble term (see refiner_ensemble_loss for why both)."""
+    return refiner_distillation_loss(
+        out, coarse_preds, h_targets, window_size
+    ) + refiner_ensemble_loss(out, coarse_preds, h_targets, window_size)
+
+
 # ---------------------------------------------------------------------------
 # checkpoint IO (reference name compatibility)
 # ---------------------------------------------------------------------------
