@@ -164,3 +164,74 @@ def test_lora_train_e2e_tiny(tmp_path):
     np.testing.assert_allclose(
         np.asarray(adapted), np.asarray(via_merged), rtol=2e-5, atol=2e-5
     )
+
+
+def test_lora_full_state_resume(tmp_path):
+    """save_mode='all' LoRA runs checkpoint the adapters + their optimizer
+    moments alongside TrainState, and --resume restores them (without this,
+    a resumed LoRA run silently restarted the adapters from scratch)."""
+    from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg
+    from ucod_dpl_tpu.engine import Runner
+    from ucod_dpl_tpu.models.lora import load_lora_checkpoint
+    from ucod_dpl_tpu.utils.fileio import ArrayCache
+
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=4)
+    cfg = _tiny_cfg(tmp_path)
+    cfg.train_cfg = CfgNode(
+        {
+            "max_epoch": 2,
+            "start_finetune": -1,
+            "merge_method": "dis",
+            "start_epoch": 0,
+            "lr0": 2e-4,
+            "dis_lr0": 1e-3,
+            "dis_intertrain": 2,
+            "dis_epoch": 1,
+            "step_lr_size": 25,
+            "step_lr_gamma": 0.95,
+            "save_cfg": {"save_mode": "all", "save_interval": 1, "start_save": -50},
+        }
+    )
+    cfg.val_cfg.enable_val = False
+    cfg.dataset_cfg.trainloader_cfg.batch_size = 2
+    cfg.model_cfg.lora = CfgNode(
+        {"enable": True, "rank": 2, "alpha": 4.0, "lr": 1e-3, "remat": True}
+    )
+
+    rng = np.random.default_rng(0)
+    pl_cache = ArrayCache(
+        os.path.join(str(tmp_path / "cache"), "pseudo_label_cache", "TINY")
+    )
+    pl_cache.dump_list(
+        [(rng.random((4, 4, 1)) > 0.5).astype(np.float32) for _ in range(4)]
+    )
+
+    Runner(cfg, mode="train").launch_train()
+    ckp = os.path.join(cfg.log_cfg.log_path, "ckp")
+    assert os.path.exists(os.path.join(ckp, "state_epoch1_lora.npz"))
+    lora_e1 = load_lora_checkpoint(os.path.join(ckp, "lora_epoch1.safetensors"))
+    lora_e2 = load_lora_checkpoint(os.path.join(ckp, "lora_epoch2.safetensors"))
+
+    # resume from epoch 1 and run one more epoch: the resumed run must START
+    # from epoch-1 adapters (not fresh zeros) and end somewhere different
+    # from its start
+    cfg.train_cfg.resume = os.path.join(ckp, "state_epoch1")
+    cfg.train_cfg.max_epoch = 2
+    runner2 = Runner(cfg, mode="train")
+    runner2.launch_train()
+    lora_resumed = load_lora_checkpoint(os.path.join(ckp, "lora_epoch2.safetensors"))
+
+    def norm_diff(a, b):
+        return float(
+            sum(
+                float(jnp.sum(jnp.abs(x[t][n] - y[t][n])))
+                for x, y in zip(a, b)
+                for t in ("q", "k", "v")
+                for n in ("a", "b")
+            )
+        )
+
+    # deterministic dataloader order + restored opt moments: the resumed
+    # epoch-2 adapters match the uninterrupted run's epoch-2 adapters
+    assert norm_diff(lora_resumed, lora_e2) < 1e-5, norm_diff(lora_resumed, lora_e2)
+    assert norm_diff(lora_resumed, lora_e1) > 1e-7  # and they did move

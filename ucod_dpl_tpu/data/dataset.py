@@ -403,12 +403,24 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.shard = shard
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order for the next iteration to ``epoch``.
+
+        The order is a pure function of (seed, epoch) — NOT of how many
+        epochs this process already iterated — so a resumed run replays
+        exactly the batch order the uninterrupted run would have used, and
+        every process of a multi-host run derives the same global order
+        (sharding slices it afterwards).  Without a ``set_epoch`` call the
+        counter self-advances per iteration (fresh order each epoch)."""
+        self._epoch = int(epoch)
 
     def _indices(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
         if self.shard is not None:
             index, count = self.shard
             order = order[index::count]
@@ -429,6 +441,7 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = self._indices()
+        self._epoch += 1  # self-advance when the caller never set_epoch's
         if self.prefetch <= 0:
             yield from self._batches(order)
             return

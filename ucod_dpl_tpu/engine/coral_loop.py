@@ -334,6 +334,7 @@ class LocalRefineTrainLoop:
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             self._lr = lr
             losses = []
+            runner.train_dataloader.set_epoch(epoch)  # resume-deterministic
             for batch in runner.train_dataloader:
                 l_feat, h_feat, preds = self._prepare(batch)
                 trainable, opt_state, loss = self._train_step(

@@ -126,16 +126,41 @@ class TrainLoop:
     def _resume(self, path: str) -> None:
         """Restore full training state (optimizer moments, EMA step, epoch)
         from a save_mode='all' checkpoint."""
+        import os
+
         from .checkpoint import load_train_state
 
         self.state, meta = load_train_state(path, self.state)
         self.start_epoch = int(meta.get("epoch", 0))
         self.finetune = bool(meta.get("finetune", False))
         self.best_mae = float(meta.get("best_mae", float("inf")))
+        if self.lora_enabled and (
+            os.path.exists(path + "_lora.npz") or os.path.isdir(path + "_lora.orbax")
+        ):
+            # adapters + their optimizer moments resume alongside TrainState
+            lora_tree, _ = load_train_state(
+                path + "_lora",
+                {"lora": self.lora_params, "opt": self.lora_opt_state},
+            )
+            self.lora_params = lora_tree["lora"]
+            self.lora_opt_state = lora_tree["opt"]
         self.runner.logger.log(
             f"Resumed training state from {path} (epoch {self.start_epoch}, "
             f"finetune={self.finetune})"
         )
+
+    def _save_full_state(self, path: str, epoch: int) -> None:
+        from .checkpoint import save_train_state
+
+        meta = {"epoch": epoch, "finetune": self.finetune, "best_mae": self.best_mae}
+        save_train_state(path, self.state, meta, backend=self.ckpt_backend)
+        if self.lora_enabled:
+            save_train_state(
+                path + "_lora",
+                {"lora": self.lora_params, "opt": self.lora_opt_state},
+                meta,
+                backend=self.ckpt_backend,
+            )
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch, need_features: bool = True):
@@ -174,19 +199,8 @@ class TrainLoop:
         import signal
 
         def handler(signum, frame):
-            from .checkpoint import save_train_state
-
             path = f"{self.runner.ckp_dir}/state_preempt"
-            save_train_state(
-                path,
-                self.state,
-                {
-                    "epoch": self._cur_epoch,
-                    "finetune": self.finetune,
-                    "best_mae": self.best_mae,
-                },
-                backend=self.ckpt_backend,
-            )
+            self._save_full_state(path, self._cur_epoch)
             self.runner.logger.log(
                 f"Preemption signal {signum}: state saved to {path}; resume with "
                 f"--resume {path}"
@@ -226,17 +240,8 @@ class TrainLoop:
                 if self.lora_enabled:
                     self._save_lora(epoch)
                 if self.save_mode == "all":
-                    from .checkpoint import save_train_state
-
-                    save_train_state(
-                        f"{self.runner.ckp_dir}/state_epoch{epoch}",
-                        self.state,
-                        {
-                            "epoch": epoch,
-                            "finetune": self.finetune,
-                            "best_mae": self.best_mae,
-                        },
-                        backend=self.ckpt_backend,
+                    self._save_full_state(
+                        f"{self.runner.ckp_dir}/state_epoch{epoch}", epoch
                     )
 
             if (
@@ -280,6 +285,9 @@ class TrainLoop:
             dis_opt_state=self.dis_optimizer.init(self.state.dis_params),
             ema_step=jnp.zeros((), jnp.int32),
         )
+        if self.lora_enabled:
+            # the adapters' schedule restarts with the other optimizers
+            self.lora_opt_state = self.lora_optimizer.init(self.lora_params)
 
     def _run_epoch(self, epoch: int) -> None:
         logger = self.runner.logger
@@ -287,6 +295,8 @@ class TrainLoop:
         t0 = time.perf_counter()
         n = 0
         last_aux = None
+        # batch order = f(seed, epoch): resumed runs replay the exact order
+        self.runner.train_dataloader.set_epoch(epoch)
         for batch in self.runner.train_dataloader:
             features, plabels = self._device_batch(
                 batch, need_features=not self.lora_enabled
@@ -325,8 +335,10 @@ class TrainLoop:
 
     def _train_discriminator(self, epoch: int) -> None:
         logger = self.runner.logger
-        for _ in range(self.dis_epochs):
+        for d in range(self.dis_epochs):
             losses = []
+            # distinct deterministic orders for discriminator passes
+            self.runner.train_dataloader.set_epoch(1_000_000 + epoch * 100 + d)
             for batch in self.runner.train_dataloader:
                 features, plabels = self._device_batch(batch)
                 self.state, aux = self._dis_step(self.state, features, plabels)
