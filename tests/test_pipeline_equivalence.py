@@ -347,7 +347,11 @@ def _our_cfg_coral(tmp_path):
     return cfg
 
 
-def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch):
+@pytest.mark.parametrize("with_m_patches", [True, False])
+def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch, with_m_patches):
+    """Non-cropped stage-2 composition, both coarse-prediction modes: the
+    2x2 m-patch stitch and the direct l-feature path (the crop-fallback
+    variants live in test_stage2_coral_center_crop_equivalence)."""
     import torch
     from safetensors.torch import load_file as torch_load_file
 
@@ -378,9 +382,10 @@ def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch):
 
     # --- reference oracle ------------------------------------------------------
     ref_cfg = _ref_cfg_coral(ref, tmp_path)
+    ref_cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
     ref_loader = ref.dataloader_utils.DataLoaderFactory.create_lr_test_loader(
         ref_cfg.dataset_cfg, logger=SilentLogger(), window_size=3
-    )  # builds feature/patch/m_patch caches on disk
+    )  # builds feature/patch(/m_patch) caches on disk
     ref_model = ref.uscod.baseline(ref_cfg.model_cfg).eval()
     res = ref_model.load_state_dict(torch_load_file(dec_ckpt))
     assert not res.missing_keys and not res.unexpected_keys
@@ -397,12 +402,14 @@ def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch):
 
     # --- ours --------------------------------------------------------------------
     cfg = _our_cfg_coral(tmp_path)
+    cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
     runner = LocalRefineRunner(cfg, mode="val")
     runner.feature_extractor.params = our_backbone_params
     runner.decoder_params = dec
     runner.decoder_ema_params = dec_ema
     runner.refiner_params = refiner_params
-    for kind in ("features", "patch", "m_patch"):
+    kinds = ("features", "patch", "m_patch") if with_m_patches else ("features", "patch")
+    for kind in kinds:
         assert runner.val_dataset.caches.get(kind).mode == "r", kind
     our_result = runner.launch_val()
 
@@ -430,8 +437,17 @@ def test_stage2_coral_pipeline_equivalence(ref, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("with_m_patches", [True, False])
-def test_stage2_coral_center_crop_equivalence(ref, tmp_path, monkeypatch, with_m_patches):
+# (with_m_patches, backbone variant): both coarse modes with the v2
+# backbone, plus the richest composition (m-patch stitch + crop) on the
+# DINOv1 patch-8 geometry — the live-re-extraction branch exercises pos-
+# embed interpolation per framework there
+@pytest.mark.parametrize(
+    "with_m_patches,variant",
+    [(True, "dinov2"), (False, "dinov2"), (True, "dinov1")],
+)
+def test_stage2_coral_center_crop_equivalence(
+    ref, tmp_path, monkeypatch, with_m_patches, variant
+):
     import torch
     from safetensors.torch import load_file as torch_load_file
 
@@ -442,9 +458,14 @@ def test_stage2_coral_center_crop_equivalence(ref, tmp_path, monkeypatch, with_m
     patch_cuda_to_cpu(monkeypatch)
     make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=3)
 
-    hf_model, our_backbone_params, _ = build_shared_backbone(
-        hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
-    )
+    if variant == "dinov2":
+        hf_model, our_backbone_params, _ = build_shared_backbone(
+            hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
+        )
+    else:  # IMG=56 divides patch 8 (7x7 grid); pos-embed interpolated from 32
+        hf_model, our_backbone_params, _ = build_shared_backbone_v1(
+            hidden=DIM, layers=2, heads=12, patch=8, image=POS_IMG_V1, seed=3
+        )
     monkeypatch.setattr(
         ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
     )
@@ -457,12 +478,26 @@ def test_stage2_coral_center_crop_equivalence(ref, tmp_path, monkeypatch, with_m
     # --- shared caches + our runner first (pre-pass needs them) ---------------
     ref_cfg = _ref_cfg_coral(ref, tmp_path)
     ref_cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
+    if variant == "dinov1":
+        ref_cfg.dataset_cfg.feature_extractor_cfg.type = "dinov1"
+        ref_cfg.dataset_cfg.feature_extractor_cfg.backbone = "facebook/dino-vitb8"
     ref_loader = ref.dataloader_utils.DataLoaderFactory.create_lr_test_loader(
         ref_cfg.dataset_cfg, logger=SilentLogger(), window_size=3
     )  # builds feature/patch(/m_patch) caches on disk
 
     cfg = _our_cfg_coral(tmp_path)
     cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
+    if variant == "dinov1":
+        fe = cfg.dataset_cfg.feature_extractor_cfg
+        fe.type = "dinov1"
+        fe.backbone = "facebook/dino-vitb8"
+        fe.arch = {
+            "hidden_size": DIM,
+            "num_layers": 2,
+            "num_heads": 12,
+            "patch_size": 8,
+            "image_size": POS_IMG_V1,
+        }
     runner = LocalRefineRunner(cfg, mode="val")
     runner.feature_extractor.params = our_backbone_params
     runner.decoder_params = dec
