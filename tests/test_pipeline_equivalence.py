@@ -308,12 +308,12 @@ def test_stage1_pipeline_equivalence_dinov1(ref, tmp_path, monkeypatch):
 WL = 14  # window_length: small keeps the CPU cross-attention cheap
 
 
-def _ref_cfg_coral(ref, tmp_path):
+def _ref_cfg_coral(ref, tmp_path, dim=DIM):
     return ref.config.CfgNode(
         {
             "train_cfg": {"dist_train": False},
             "val_cfg": {},
-            "model_cfg": {"dim": DIM, "feature_size": FEAT, "window_length": WL},
+            "model_cfg": {"dim": dim, "feature_size": FEAT, "window_length": WL},
             "log_cfg": {"log_path": str(tmp_path / "ref_logs")},
             "dataset_cfg": {
                 "dataset_dir": str(tmp_path / "data"),
@@ -338,11 +338,14 @@ def _ref_cfg_coral(ref, tmp_path):
     )
 
 
-def _our_cfg_coral(tmp_path):
+def _our_cfg_coral(tmp_path, dim=DIM, heads=12):
     cfg = _our_cfg(tmp_path)
     cfg.model_cfg.window_length = WL
     cfg.model_cfg.window_size = 3
     cfg.model_cfg.threshold = 0.0015
+    cfg.model_cfg.dim = dim
+    cfg.dataset_cfg.feature_extractor_cfg.arch["hidden_size"] = dim
+    cfg.dataset_cfg.feature_extractor_cfg.arch["num_heads"] = heads
     cfg.dataset_cfg.valset_cfg.require_m_patches = True
     return cfg
 
@@ -456,27 +459,34 @@ def test_stage2_coral_center_crop_equivalence(
     from ucod_dpl_tpu.models.udlr import save_refiner_checkpoint
 
     patch_cuda_to_cpu(monkeypatch)
-    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=3)
-
+    # n=2: the m-patch slice constants (36/18, lr_dataset.py:160-166)
+    # structurally pin the high-res transform at 756px/432px (2916-token CPU
+    # forwards per image, per framework, uncached on the crop path), and the
+    # refiner width cannot shrink either — the reference's HRE.__init__
+    # DROPS its dim arg (HRE.py:15 constructs CSF() at the 768 default), so
+    # the oracle refiner is structurally 768-only.  Two images keep every
+    # branch covered at 2/3 the cost.
+    make_synthetic_dataset(str(tmp_path / "data" / "TINY"), n=2)
+    dim_c, heads_c = DIM, 12
     if variant == "dinov2":
         hf_model, our_backbone_params, _ = build_shared_backbone(
-            hidden=DIM, layers=2, heads=12, patch=14, image=IMG, seed=0
+            hidden=dim_c, layers=2, heads=heads_c, patch=14, image=IMG, seed=0
         )
     else:  # IMG=56 divides patch 8 (7x7 grid); pos-embed interpolated from 32
         hf_model, our_backbone_params, _ = build_shared_backbone_v1(
-            hidden=DIM, layers=2, heads=12, patch=8, image=POS_IMG_V1, seed=3
+            hidden=dim_c, layers=2, heads=heads_c, patch=8, image=POS_IMG_V1, seed=3
         )
     monkeypatch.setattr(
         ref.feature_extractor, "build_feature_extractor", lambda cfg: hf_model
     )
 
-    dec = suppressed_decoder_params(DIM, seed=0)  # forces the fallback
-    dec_ema = suppressed_decoder_params(DIM, seed=1)
+    dec = suppressed_decoder_params(dim_c, seed=0)  # forces the fallback
+    dec_ema = suppressed_decoder_params(dim_c, seed=1)
     dec_ckpt = str(tmp_path / "decoder.safetensors")
     save_decoder_checkpoint(dec_ckpt, dec, dec_ema)
 
     # --- shared caches + our runner first (pre-pass needs them) ---------------
-    ref_cfg = _ref_cfg_coral(ref, tmp_path)
+    ref_cfg = _ref_cfg_coral(ref, tmp_path, dim=dim_c)
     ref_cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
     if variant == "dinov1":
         ref_cfg.dataset_cfg.feature_extractor_cfg.type = "dinov1"
@@ -485,16 +495,16 @@ def test_stage2_coral_center_crop_equivalence(
         ref_cfg.dataset_cfg, logger=SilentLogger(), window_size=3
     )  # builds feature/patch(/m_patch) caches on disk
 
-    cfg = _our_cfg_coral(tmp_path)
+    cfg = _our_cfg_coral(tmp_path, dim=dim_c, heads=heads_c)
     cfg.dataset_cfg.valset_cfg.require_m_patches = with_m_patches
     if variant == "dinov1":
         fe = cfg.dataset_cfg.feature_extractor_cfg
         fe.type = "dinov1"
         fe.backbone = "facebook/dino-vitb8"
         fe.arch = {
-            "hidden_size": DIM,
+            "hidden_size": dim_c,
             "num_layers": 2,
-            "num_heads": 12,
+            "num_heads": heads_c,
             "patch_size": 8,
             "image_size": POS_IMG_V1,
         }
@@ -508,7 +518,7 @@ def test_stage2_coral_center_crop_equivalence(
     from ref_pipeline_harness import center_logits_shift, sharpen_refiner_head
     from ucod_dpl_tpu.engine.coral_loop import LocalRefineEvaluator
 
-    base_refiner = confident_refiner_params(DIM, seed=7)
+    base_refiner = confident_refiner_params(dim_c, seed=7)
     runner.refiner_params = base_refiner
     ev = LocalRefineEvaluator(cfg, runner)
     outs = []
@@ -532,7 +542,7 @@ def test_stage2_coral_center_crop_equivalence(
     res = ref_model.load_state_dict(torch_load_file(dec_ckpt))
     assert not res.missing_keys and not res.unexpected_keys
     ref_refiner = ref.UDLR.SparseRefiner(
-        config=None, window_size=3, threshold=0.0015, dim=DIM
+        config=None, window_size=3, threshold=0.0015, dim=dim_c
     ).eval()
     res = ref_refiner.load_state_dict(torch_load_file(refiner_ckpt))
     assert not res.missing_keys and not res.unexpected_keys
