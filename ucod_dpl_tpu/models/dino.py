@@ -389,13 +389,20 @@ def dino_forward(
         strides = (cfg.patch_size, 1)
     else:
         strides = (cfg.patch_size, cfg.patch_size)
+    # bf16 mode outputs bf16 directly (XLA still accumulates f32 internally,
+    # so the value is identical to an f32-preferred output + downcast) — an
+    # explicit preferred_element_type=f32 + astype would hand the conv's
+    # FILTER-gradient a f32 cotangent against bf16 operands, which
+    # conv_general_dilated rejects (differentiated-through-backbone paths:
+    # full fine-tuning, selfcheck #6)
+    conv_kwargs = {} if dtype == jnp.bfloat16 else {"preferred_element_type": jnp.float32}
     x = jax.lax.conv_general_dilated(
         px,
         pe,
         window_strides=strides,
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        **conv_kwargs,
     ).astype(dtype)
     x = x + params["patch_embed"]["bias"].astype(dtype)
     x = x.reshape(b, gh * gw, cfg.hidden_size)

@@ -170,13 +170,15 @@ def _attention_kernel_headpair(
 
 @functools.lru_cache(maxsize=1)
 def _score_budget_bytes() -> int:
-    """f32 score-tile VMEM budget for :func:`_pick_q_block`.
+    """f32 score-tile VMEM budget for :func:`_pick_q_block` (forward).
 
-    16MB assumes >=32MB VMEM per core (TPU v4/v5/v6 — validated on the v5e
-    dev chip; the worst-case resident set is the 8.7MB score tile at 756px
-    plus ~4.4MB of Q/K/V/output blocks, comfortable at 32MB).  v2/v3 cores
-    have only 16MB VMEM, where that set may not compile (a loud Mosaic
-    allocation error, never silent) — gate down to 8MB there."""
+    The v5e scoped-vmem limit is 16MB (measured: a 19.8MB backward
+    allocation fails to compile with "exceeded scoped vmem limit"); the
+    forward's worst case — the 8.7MB score tile at 756px plus ~4.5MB of
+    resident K/V and Q/O blocks — fits it, validated on the dev chip.
+    v2/v3 cores have 16MB TOTAL VMEM with less headroom for Mosaic's
+    double-buffering — gate the tile budget down to 8MB there (an overrun
+    is a loud compile error, never silent)."""
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
@@ -412,9 +414,11 @@ def _pallas_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
     b, seq_len, d_model = q.shape
     hd = d_model // num_heads
     lp = _ceil_to(seq_len, 128)
-    # three resident f32 (block, Lp) tiles (P, dP, dS) instead of the
-    # forward's one — shrink the per-tile budget correspondingly
-    block_q = _pick_q_block(lp, _score_budget_bytes() // 4)
+    block_q = _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize)
+    assert block_q is not None, (
+        f"flash backward infeasible at Lp={lp} (scoped-vmem law) — the VJP "
+        "wrapper should have taken the XLA fallback"
+    )
     padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
     if padded:  # interpreter lacks Mosaic's boundary masking (see forward)
         q, k, v, o, do = (
@@ -466,6 +470,53 @@ def _pallas_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
     return dq, dk, dv
 
 
+def _bwd_block_q(lp: int, itemsize: int):
+    """Backward q-block for the v5e 16MB scoped-vmem limit, or None when no
+    block fits.
+
+    Empirical affine law from compiler OOM reports at lp=1408 f32
+    (19.84M @ block 704, 16.13M @ block 352): usage ≈ FIXED(lp) + 3 f32
+    score-tile slope, where FIXED ≈ 17 (f32-operand) / 12 (bf16-operand)
+    (lp, 128)-f32-equivalent buffers — resident K/V, the dK/dV
+    accumulators with their read-modify-write temps, the jnp.where
+    tail-zeroing copies, and Mosaic double-buffering.  Budget 15MB keeps a
+    ~1MB margin under the observed 16MB hard limit."""
+    fixed = 512 * lp * (17 if itemsize == 4 else 12)
+    budget = int(15.0 * 1024 * 1024) - fixed
+    if budget < 16 * 3 * 4 * lp:  # not even a 16-row block fits
+        return None
+    n = 1
+    while lp % n or (lp // n) % 16 or (lp // n) * 3 * 4 * lp > budget:
+        n += 1
+    return lp // n
+
+
+def _xla_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
+    """XLA-math backward for the packed layout: used when the flash backward
+    kernel cannot fit VMEM (very long sequences, e.g. 756px f32) — the
+    (B, nh, L, L) probability matrix materialises in HBM instead."""
+    b, l, d_model = q.shape
+    hd = d_model // num_heads
+
+    def heads(x):
+        return x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh, oh, doh = (heads(x).astype(jnp.float32) for x in (q, k, v, o, do))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", doh, vh)
+    d_row = jnp.sum(doh * oh, axis=-1, keepdims=True)
+    ds = p * (dp - d_row) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kh)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qh)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, doh)
+
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, l, d_model)
+
+    return merge(dq), merge(dk), merge(dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _packed_attention_diff(q, k, v, num_heads: int, scale: float, rowmax: bool):
     """Packed Pallas attention with a flash-attention VJP: differentiated
@@ -481,7 +532,11 @@ def _packed_attention_diff_fwd(q, k, v, num_heads, scale, rowmax):
 
 def _packed_attention_diff_bwd(num_heads, scale, rowmax, res, do):
     q, k, v, o = res
-    dq, dk, dv = _pallas_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
+    lp = _ceil_to(q.shape[1], 128)
+    if _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize) is None:
+        dq, dk, dv = _xla_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
+    else:
+        dq, dk, dv = _pallas_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
