@@ -63,6 +63,12 @@ class CacheSet:
             self._caches[kind] = ArrayCache(path, logger=self.logger)
         return self._caches[kind]
 
+    def reopen(self, kind: str) -> ArrayCache:
+        """Drop the handle and re-run the open-time integrity check — used
+        by non-main processes after the main process finished building."""
+        self._caches.pop(kind, None)
+        return self.get(kind)
+
 
 @DATASETS.register("USCODDataset")
 @DATASETS.register()
@@ -101,7 +107,52 @@ class CODDataset:
             cache_dir, feature_extractor_cfg.type, mode, set_cfg.DATASET, logger=self.logger
         )
         if self.caches.get("features").mode == "w":
-            self._build_feature_cache()
+            self._build_coordinated(("features",), self._build_feature_cache)
+
+    def _build_coordinated(self, kinds, build_fn, timeout_s: float = 7200.0) -> None:
+        """Multi-host cache builds: only process 0 writes.
+
+        Without this, EVERY process of a pod would redundantly sweep the
+        backbone over the whole dataset AND race on the same files of the
+        shared filesystem (index.json last-writer-wins corruption).
+
+        Waiters POLL the shared filesystem rather than a collective:
+        ``index.json`` is atomically replaced LAST by the build
+        (fileio.JSONIO.write_file), so a passing integrity check IS the
+        completion signal — and unlike a device collective, polling has no
+        connection timeout and keeps the waiting processes out of any
+        lockstep requirement while process 0 runs local compute."""
+        import jax
+
+        if jax.process_count() == 1:
+            build_fn()
+            return
+        from ucod_dpl_tpu.parallel.distributed import is_main_process
+
+        if is_main_process():
+            build_fn()
+            return
+        import time as _time
+
+        self.logger.log(
+            f"waiting for process 0 to build {kinds} cache(s) for "
+            f"{self.set_cfg.DATASET}"
+        )
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            try:
+                bad = [k for k in kinds if self.caches.reopen(k).mode != "r"]
+            except Exception:  # transient partial state mid-build
+                bad = list(kinds)
+            if not bad:
+                return
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"timed out after {timeout_s}s waiting for process 0 to "
+                    f"build {bad} caches for {self.set_cfg.DATASET} — is the "
+                    "cache directory on a filesystem shared by all processes?"
+                )
+            _time.sleep(2.0)
 
     # -- files ---------------------------------------------------------------
     def _scan_files(self) -> None:
@@ -224,7 +275,8 @@ class LRDataset(CODDataset):
         if self.caches.get("patch").mode == "w" or (
             self.require_m_patches and self.caches.get("m_patch").mode == "w"
         ):
-            self._build_patch_cache()
+            kinds = ("patch", "m_patch") if self.require_m_patches else ("patch",)
+            self._build_coordinated(kinds, self._build_patch_cache)
 
     def _fe_image_size(self) -> Tuple[int, int]:
         """High-res transform size: 756 (dinov2) / 432 (dinov1), the

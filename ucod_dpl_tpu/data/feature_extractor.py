@@ -120,6 +120,20 @@ class FeatureExtractor:
         self.mesh = mesh
         self.tp_shard = None
         if mesh is not None and mesh.shape.get("model", 1) > 1:
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # extraction is PER-PROCESS work (each process sweeps its
+                # dataset shard; LookTwice crops are per-image local) — a
+                # process-spanning TP mesh would turn every extract() into
+                # a collective all processes must join in lockstep, which
+                # the data-sharded eval loops do not do.  TP extraction is
+                # single-process (multi-device) only.
+                raise NotImplementedError(
+                    "tensor-parallel feature extraction requires a "
+                    "single-process mesh (TP over the chips of one host); "
+                    "use data parallelism across processes"
+                )
             self.tp_shard = (mesh, "model")
             if self.config.num_heads % mesh.shape["model"]:
                 raise ValueError(
@@ -171,8 +185,17 @@ class FeatureExtractor:
 
     def _put_pixels(self, images_nhwc: np.ndarray):
         """Host batch -> device, sharded over the mesh's data axis when a
-        multi-device mesh is attached (DP x TP composition)."""
-        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+        single-process multi-device mesh is attached (DP x TP composition).
+
+        Multi-process runs place locally instead: extraction is per-process
+        work over the process's own dataset shard, and a globally-sharded
+        input would make the jitted extract a collective every process must
+        launch in lockstep."""
+        if (
+            self.mesh is not None
+            and len(self.mesh.devices.flat) > 1
+            and jax.process_count() == 1
+        ):
             from ucod_dpl_tpu.parallel.mesh import data_sharding
 
             arr = np.asarray(images_nhwc)

@@ -31,8 +31,13 @@ class JSONIO:
     def write_file(path: Union[str, Path], obj: Any) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "w") as f:
+        # atomic replace: index.json doubles as the build-complete signal
+        # for waiting processes (dataset._build_coordinated) — a reader
+        # must never see a half-written manifest
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(obj, f)
+        os.replace(tmp, path)
 
 
 def _to_numpy(obj: Any) -> np.ndarray:
