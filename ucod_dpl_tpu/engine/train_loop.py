@@ -195,23 +195,39 @@ class TrainLoop:
     # ------------------------------------------------------------------
     def _install_preemption_handler(self):
         """Checkpoint full state on SIGTERM/SIGINT (preemption safety —
-        SURVEY §5.3: the reference has no elastic/preemption story)."""
+        SURVEY §5.3: the reference has no elastic/preemption story).
+
+        DEFERRED design: the handler only sets a flag; the epoch loops save
+        and exit at the next step boundary (ms-scale latency).  Saving
+        directly inside the handler is unsound: the signal can land while
+        the jitted step holds ``self.state``'s DONATED buffers, and the
+        save then crashes on deleted arrays — the process would die
+        without a checkpoint (caught by tests/test_preemption.py)."""
         import signal
 
+        self._preempt_signum = None
+
         def handler(signum, frame):
-            path = f"{self.runner.ckp_dir}/state_preempt"
-            self._save_full_state(path, self._cur_epoch)
-            self.runner.logger.log(
-                f"Preemption signal {signum}: state saved to {path}; resume with "
-                f"--resume {path}"
-            )
-            raise SystemExit(128 + signum)
+            self._preempt_signum = signum
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 signal.signal(sig, handler)
             except ValueError:  # non-main thread
                 pass
+
+    def _maybe_preempt_exit(self) -> None:
+        """Save full state and exit if a preemption signal was flagged."""
+        signum = getattr(self, "_preempt_signum", None)
+        if signum is None:
+            return
+        path = f"{self.runner.ckp_dir}/state_preempt"
+        self._save_full_state(path, self._cur_epoch)
+        self.runner.logger.log(
+            f"Preemption signal {signum}: state saved to {path}; resume with "
+            f"--resume {path}"
+        )
+        raise SystemExit(128 + signum)
 
     def run(self) -> None:
         logger = self.runner.logger
@@ -321,6 +337,7 @@ class TrainLoop:
                 )
             last_aux = aux
             n += 1
+            self._maybe_preempt_exit()
             if n % max(self.log_interval, 1) == 0:
                 logger.log(
                     f"epoch {epoch} iter {n}: loss={float(aux['loss']):.4f} "
@@ -343,6 +360,7 @@ class TrainLoop:
                 features, plabels = self._device_batch(batch)
                 self.state, aux = self._dis_step(self.state, features, plabels)
                 losses.append(float(aux["dis_train_loss"]))
+                self._maybe_preempt_exit()
             logger.log(
                 f"epoch {epoch}: discriminator pass mean loss {np.mean(losses):.4f}"
             )
