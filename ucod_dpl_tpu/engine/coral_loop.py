@@ -317,8 +317,40 @@ class LocalRefineTrainLoop:
             preds = self._decoder_fwd(self.runner.decoder_params, l_feat)
         return l_feat, h_feat, preds
 
+    def _install_preemption_handler(self):
+        """Deferred-flag preemption handling, like the stage-1 loop
+        (train_loop.py::_install_preemption_handler — saving from inside a
+        signal handler is unsound while a jitted step holds state)."""
+        import signal
+
+        self._preempt_signum = None
+
+        def handler(signum, frame):
+            self._preempt_signum = signum
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # non-main thread
+                pass
+
+    def _maybe_preempt_exit(self, epoch: int) -> None:
+        signum = getattr(self, "_preempt_signum", None)
+        if signum is None:
+            return
+        self.runner.refiner_params = {
+            **self._trainable, "num_heads": self.runner.refiner_params["num_heads"]
+        }
+        path = self.runner.save_refiner(f"{epoch}_preempt")
+        self.runner.logger.log(
+            f"Preemption signal {signum}: refiner saved to {path}; restart "
+            f"stage 2 with --refiner_path {path}"
+        )
+        raise SystemExit(128 + signum)
+
     def run(self) -> None:
         runner = self.runner
+        self._install_preemption_handler()
         # refiner-only parameters are trained; num_heads is static metadata
         trainable = {k: v for k, v in runner.refiner_params.items() if k != "num_heads"}
         opt_state = self.optimizer.init(trainable)
@@ -341,6 +373,8 @@ class LocalRefineTrainLoop:
                     trainable, opt_state, runner.decoder_params, l_feat, h_feat, preds
                 )
                 losses.append(float(loss))
+                self._trainable = trainable
+                self._maybe_preempt_exit(epoch)
                 if epoch >= start_ema:
                     alpha = min(1.0 - 1.0 / (step + 1.0), ema_weight)
                     ema_params = jax.tree.map(
