@@ -78,6 +78,13 @@ class TrainLoop:
         lc = cfg.model_cfg.get("lora", {})
         self.lora_enabled = bool(lc.get("enable", False))
         if self.lora_enabled:
+            if runner.mesh.shape.get("model", 1) > 1:
+                raise NotImplementedError(
+                    "LoRA training with a model-parallel mesh is not "
+                    "supported (the adapted backbone runs replicated per "
+                    "data shard); set tpu_cfg.mesh.model to 1 and scale "
+                    "with data parallelism"
+                )
             from ucod_dpl_tpu.models.lora import init_lora
 
             from .train_step import make_lora_train_step
