@@ -29,29 +29,23 @@ def lr_dataset(tmp_path):
     return ds
 
 
-def test_grid_patch_count_and_order(lr_dataset, monkeypatch):
-    """window_size^2 patches, row-major (i outer, j inner) as the reference."""
-    boxes = []
+def test_grid_patch_count_and_order(lr_dataset):
+    """window_size^2 patches, row-major (i outer, j inner) as the reference
+    (lr_dataset.py:136-150).  The vectorised `_grid_patch_arrays` must slice
+    patch k from grid cell (k // ws, k % ws) of the resized image — checked
+    against explicit PIL crop boxes on a distinct-per-cell image."""
+    from ucod_dpl_tpu.data.transforms import patch_transform
 
-    class SpyImage:
-        def __init__(self, img):
-            self.img = img
-
-        def resize(self, size, *a, **k):
-            return SpyImage(self.img.resize(size))
-
-        def crop(self, box):
-            boxes.append(box)
-            return self.img.crop(box)
-
-    img = Image.new("RGB", (100, 80))
-    feats = lr_dataset._grid_patches(SpyImage(img).resize((168, 168)))
-    assert feats.shape[0] == 9
-    # row-major: first row of windows first, x advancing fastest
-    assert boxes[0] == (0, 0, 56, 56)
-    assert boxes[1] == (56, 0, 112, 56)
-    assert boxes[3] == (0, 56, 56, 112)
-    assert boxes[8] == (112, 112, 168, 168)
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 256, (80, 100, 3), dtype=np.uint8))
+    patches = lr_dataset._grid_patch_arrays(img)
+    assert patches.shape == (9, 56, 56, 3)
+    big = img.resize((168, 168), Image.BILINEAR)
+    for k, box in enumerate(
+        [(j * 56, i * 56, (j + 1) * 56, (i + 1) * 56) for i in range(3) for j in range(3)]
+    ):
+        ref = patch_transform(big.crop(box))
+        np.testing.assert_array_equal(patches[k], ref)
 
 
 def test_m_patch_slices_are_36px_stride_18():

@@ -1,0 +1,223 @@
+"""Native image pipeline (native/imagepipe.cpp): bit-exact parity vs PIL.
+
+The contract is strict: the native decode/resize/normalise chain must produce
+byte-identical uint8 arrays and bit-identical float32 arrays vs the
+PIL+numpy fallback, so that toggling ``UCOD_NATIVE_IO`` can never change any
+computed feature, metric, or checkpoint (reference host pipeline:
+``data/datasets/transforms.py:8-43``, ``base_dataset.py:124-144``)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ucod_dpl_tpu.data import transforms as T
+from ucod_dpl_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_imagepipe_lib()
+    if lib is None:
+        pytest.skip("native image pipeline unavailable (no g++/libjpeg/libpng?)")
+    return lib
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    """One file per supported container/colour-space combination."""
+    td = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (211, 317, 3), dtype=np.uint8)
+    rgba = np.concatenate(
+        [a, rng.integers(0, 256, (211, 317, 1), dtype=np.uint8)], axis=-1
+    )
+    files = {}
+
+    def save(img, name, **kw):
+        p = td / name
+        img.save(p, **kw)
+        files[name] = p
+
+    save(Image.fromarray(a), "rgb.jpg", quality=92)
+    save(Image.fromarray(a).convert("L"), "gray.jpg", quality=92)
+    save(Image.fromarray(a), "rgb.png")
+    save(Image.fromarray(a).convert("L"), "gray.png")
+    save(Image.fromarray(a).convert("P", palette=Image.ADAPTIVE), "palette.png")
+    save(Image.fromarray(rgba, "RGBA"), "rgba.png")
+    save(Image.fromarray(a).convert("1"), "onebit.png")
+    return files
+
+
+RESIZE_CASES = [
+    ((515, 723), (518, 518), 3),  # mixed up/down (the 518px eval geometry)
+    ((300, 200), (756, 756), 3),  # upscale (CORAL high-res transform)
+    ((64, 64), (37, 91), 3),  # downscale to odd sizes
+    ((518, 518), (518, 518), 3),  # same-size short-circuit
+    ((333, 777), (296, 296), 1),  # grayscale (labels)
+    ((100, 50), (200, 400), 1),
+    ((1, 1), (8, 8), 3),  # degenerate source
+]
+
+
+@pytest.mark.parametrize("src_hw,dst_hw,ch", RESIZE_CASES)
+def test_resize_bit_exact_vs_pillow(lib, src_hw, dst_hw, ch):
+    rng = np.random.default_rng(hash((src_hw, dst_hw, ch)) % 2**32)
+    shape = src_hw if ch == 1 else (*src_hw, ch)
+    arr = rng.integers(0, 256, shape, dtype=np.uint8)
+    pil = np.asarray(
+        Image.fromarray(arr).resize((dst_hw[1], dst_hw[0]), Image.BILINEAR)
+    )
+    nat = native.resize_u8_native(arr, dst_hw)
+    assert nat is not None
+    np.testing.assert_array_equal(nat, pil)
+
+
+@pytest.mark.parametrize("mode", ["RGB", "L"])
+def test_decode_bit_exact_vs_pillow(lib, image_files, mode):
+    for name, path in image_files.items():
+        with Image.open(path) as im:
+            pil = np.asarray(im.convert(mode))
+        nat = native.load_image_u8(path, mode)
+        assert nat is not None, f"{name} should be native-decodable"
+        if mode == "L":
+            nat = nat[..., 0]
+        np.testing.assert_array_equal(nat, pil, err_msg=f"{mode} {name}")
+
+
+def test_decode_with_fused_resize(lib, image_files):
+    path = image_files["rgb.jpg"]
+    with Image.open(path) as im:
+        pil = np.asarray(im.convert("RGB").resize((96, 64), Image.BILINEAR))
+    nat = native.load_image_u8(path, "RGB", size_hw=(64, 96))
+    np.testing.assert_array_equal(nat, pil)
+
+
+def test_unsupported_container_returns_none(lib, tmp_path):
+    p = tmp_path / "img.bmp"  # BMP is deliberately outside the native contract
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+    assert native.load_image_u8(p, "RGB") is None
+    assert native.load_image_u8(tmp_path / "missing.jpg", "RGB") is None
+
+
+# ---------------------------------------------------------------------------
+# transform-layer loaders: native path vs forced-PIL path, bit-identical
+# ---------------------------------------------------------------------------
+
+
+def _pil_reference_image(path, size_hw):
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if size_hw is not None:
+            im = im.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+        arr = np.asarray(im, np.float32) / 255.0
+    return (arr - T.IMAGENET_MEAN) / T.IMAGENET_STD
+
+
+def test_load_image_transform_matches_pil_chain(lib, image_files):
+    for name, path in image_files.items():
+        got = T.load_image_transform(path, (96, 128))
+        want = _pil_reference_image(path, (96, 128))
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, want.astype(np.float32), err_msg=name)
+
+
+def test_load_image_batch_transform_matches_pil_chain(lib, image_files):
+    paths = sorted(image_files.values())
+    got = T.load_image_batch_transform(paths, (64, 96))
+    want = np.stack([_pil_reference_image(p, (64, 96)) for p in paths]).astype(
+        np.float32
+    )
+    assert got.shape == (len(paths), 64, 96, 3) and got.dtype == np.float32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_falls_back_per_image_on_unsupported(lib, tmp_path):
+    """A BMP in the batch must not poison it — the loader falls back to the
+    per-image PIL path for the whole batch and still returns exact output."""
+    rng = np.random.default_rng(3)
+    paths = []
+    for i, ext in enumerate(["jpg", "bmp", "png"]):
+        a = rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+        p = tmp_path / f"im{i}.{ext}"
+        Image.fromarray(a).save(p)
+        paths.append(p)
+    got = T.load_image_batch_transform(paths, (32, 32))
+    want = np.stack([_pil_reference_image(p, (32, 32)) for p in paths]).astype(
+        np.float32
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("keep_size", [False, True])
+def test_load_label_transform_matches_pil_chain(lib, image_files, keep_size):
+    path = image_files["gray.png"]
+    with Image.open(path) as im:
+        im = im.convert("L")
+        if not keep_size:
+            im = im.resize((96, 64), Image.BILINEAR)
+        want = (np.asarray(im, np.float32) / 255.0)[..., None]
+    got = T.load_label_transform(path, (64, 96), keep_size=keep_size)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_loaders_exact_without_native(monkeypatch, image_files):
+    """With the native pipeline gated off, the loaders still return the same
+    bytes through PIL (UCOD_NATIVE_IO=0 equivalence)."""
+    monkeypatch.setattr(native, "load_image_u8", lambda *a, **k: None)
+    monkeypatch.setattr(native, "load_norm_batch_native", lambda *a, **k: None)
+    monkeypatch.setattr(native, "resize_u8_native", lambda *a, **k: None)
+    paths = sorted(image_files.values())
+    got1 = T.load_image_transform(paths[0], (48, 48))
+    gotb = T.load_image_batch_transform(paths, (48, 48))
+    want = np.stack([_pil_reference_image(p, (48, 48)) for p in paths]).astype(
+        np.float32
+    )
+    np.testing.assert_array_equal(got1, want[0])
+    np.testing.assert_array_equal(gotb, want)
+
+
+def test_grid_patch_arrays_match_reference_crop_loop(lib, image_files):
+    """LRDataset._grid_patch_arrays (one resize + vectorised normalise +
+    slicing) vs the reference's per-patch crop->transform loop
+    (lr_dataset.py geometry)."""
+    from ucod_dpl_tpu.data.dataset import LRDataset
+
+    path = image_files["rgb.jpg"]
+    ds = object.__new__(LRDataset)  # geometry-only: no config needed
+    ds.image_size = (37, 41)
+    ds.window_size = 3
+    with Image.open(path) as img:
+        img = img.convert("RGB")
+        got = LRDataset._grid_patch_arrays(ds, img)
+        gh, gw = ds.image_size
+        big = img.resize((3 * gw, 3 * gh), Image.BILINEAR)
+        want = np.stack(
+            [
+                T.patch_transform(big.crop((j * gw, i * gh, (j + 1) * gw, (i + 1) * gh)))
+                for i in range(3)
+                for j in range(3)
+            ]
+        )
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_env_gate_disables_native(tmp_path):
+    """UCOD_NATIVE_IO=0 keeps the library unloaded (checked in a subprocess
+    so the module-level cache in utils.native is fresh)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['UCOD_NATIVE_IO']='0';"
+        "from ucod_dpl_tpu.utils import native;"
+        "assert native.get_imagepipe_lib() is None"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr

@@ -29,7 +29,14 @@ from ucod_dpl_tpu.utils.fileio import ArrayCache, ImageIO
 from ucod_dpl_tpu.utils.registry import DATASETS
 
 from .feature_extractor import FeatureExtractor
-from .transforms import image_transform, label_transform, patch_transform
+from .transforms import (
+    image_transform,
+    load_image_batch_transform,
+    load_image_transform,
+    load_label_transform,
+    patch_transform,
+    resize_bilinear,
+)
 
 _FEATURE_DIM = 768
 
@@ -182,8 +189,7 @@ class CODDataset:
         return self._feature_extractor
 
     def _load_image_array(self, path: Path) -> np.ndarray:
-        img = ImageIO.read_image(path, "RGB")
-        return image_transform(img, self.image_size)
+        return load_image_transform(path, self.image_size)
 
     def _build_feature_cache(self) -> None:
         """One-time DINO sweep over the dataset (the throughput-dominant
@@ -209,7 +215,9 @@ class CODDataset:
         idx = 0
         with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
             def load_chunk(paths):
-                return np.stack(list(pool.map(self._load_image_array, paths)))
+                # one threaded C++ decode->resize->normalise call per chunk
+                # (bit-identical to the per-image path, no GIL contention)
+                return load_image_batch_transform(paths, self.image_size)
 
             pending = pool.submit(load_chunk, chunks[0]) if chunks else None
             for ci, chunk in enumerate(chunks):
@@ -233,8 +241,9 @@ class CODDataset:
     def __getitem__(self, index: int) -> Dict[str, Any]:
         label = None
         if self.label_paths:
-            img = ImageIO.read_image(self.label_paths[index], "L")
-            label = label_transform(img, self.image_size, keep_size=self.keep_size)
+            label = load_label_transform(
+                self.label_paths[index], self.image_size, keep_size=self.keep_size
+            )
 
         features = _to_hwc(self.caches.get("features").read(index))
 
@@ -284,17 +293,19 @@ class LRDataset(CODDataset):
         return (756, 756) if self.feature_extractor_cfg.type == "dinov2" else (432, 432)
 
     def _grid_patch_arrays(self, img) -> np.ndarray:
-        """(ws*ws, h, w, 3) normalised grid-patch pixel arrays (host side)."""
-        from PIL import Image
-
+        """(ws*ws, h, w, 3) normalised grid-patch pixel arrays (host side).
+        One resize + one vectorised normalise; slicing after normalisation is
+        elementwise-identical to the reference's crop-then-transform loop."""
         gh, gw = self.image_size
-        big = img.resize((self.window_size * gw, self.window_size * gh), Image.BILINEAR)
-        patches = []
-        for i in range(self.window_size):
-            for j in range(self.window_size):
-                box = (j * gw, i * gh, (j + 1) * gw, (i + 1) * gh)
-                patches.append(patch_transform(big.crop(box)))
-        return np.stack(patches)
+        ws = self.window_size
+        big = patch_transform(resize_bilinear(img, (ws * gh, ws * gw)))
+        return np.stack(
+            [
+                big[i * gh : (i + 1) * gh, j * gw : (j + 1) * gw]
+                for i in range(ws)
+                for j in range(ws)
+            ]
+        )
 
     def _grid_patches(self, img) -> np.ndarray:
         """Resize to window_size x image_size and cut the patch grid.

@@ -24,14 +24,15 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build_so(src: str, so: str) -> bool:
+def _build_so(src: str, so: str, ldflags: Tuple[str, ...] = ()) -> bool:
     """Build to a private temp file then os.replace (atomic): metric-pool
     workers may all trigger the build concurrently, and a fixed -o target
     could be dlopen'd half-written or corrupted by interleaved writes."""
     tmp = f"{so}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, src]
+            + list(ldflags),
             check=True,
             capture_output=True,
             timeout=120,
@@ -46,12 +47,12 @@ def _build_so(src: str, so: str) -> bool:
         return False
 
 
-def _load_so(src: str, so: str) -> Optional[ctypes.CDLL]:
+def _load_so(src: str, so: str, ldflags: Tuple[str, ...] = ()) -> Optional[ctypes.CDLL]:
     """(Re)build when the source is newer, then dlopen; None on any failure."""
     if not os.path.exists(so) or (
         os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
     ):
-        if not os.path.exists(src) or not _build_so(src, so):
+        if not os.path.exists(src) or not _build_so(src, so, ldflags):
             return None
     try:
         return ctypes.CDLL(so)
@@ -188,3 +189,134 @@ def score_one_native(pred_norm: np.ndarray, gt_bool: np.ndarray, kernel7: np.nda
         float(scalars[0]), float(scalars[1]), float(scalars[2]),
         float(scalars[3]), float(scalars[4]), e_curve, f_curve,
     )
+
+
+# ---------------------------------------------------------------------------
+# native image pipeline (native/imagepipe.cpp): decode + PIL-exact bilinear
+# resize + normalise, threaded over batches.  Disable with UCOD_NATIVE_IO=0.
+# ---------------------------------------------------------------------------
+
+_IMAGEPIPE_SO = os.path.join(_NATIVE_DIR, "libimagepipe.so")
+_IMAGEPIPE_SRC = os.path.join(_NATIVE_DIR, "imagepipe.cpp")
+_imagepipe_lib: Optional[ctypes.CDLL] = None
+_imagepipe_tried = False
+
+
+def get_imagepipe_lib() -> Optional[ctypes.CDLL]:
+    global _imagepipe_lib, _imagepipe_tried
+    with _lock:
+        if _imagepipe_lib is not None or _imagepipe_tried:
+            return _imagepipe_lib
+        _imagepipe_tried = True
+        if os.environ.get("UCOD_NATIVE_IO", "1") == "0":
+            return None
+        lib = _load_so(_IMAGEPIPE_SRC, _IMAGEPIPE_SO, ldflags=("-ljpeg", "-lpng"))
+        if lib is None:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ip_load_u8.restype = ctypes.c_int32
+        lib.ip_load_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p), i32p, i32p, i32p,
+        ]
+        lib.ip_resize_u8.restype = ctypes.c_int32
+        lib.ip_resize_u8.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ip_load_norm_batch.restype = ctypes.c_int32
+        lib.ip_load_norm_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, f32p, f32p, f32p, ctypes.c_int32,
+        ]
+        lib.ip_free.restype = None
+        lib.ip_free.argtypes = [ctypes.c_void_p]
+        _imagepipe_lib = lib
+        return _imagepipe_lib
+
+
+_WANT_CH = {"L": 1, "RGB": 3}
+
+
+def load_image_u8(path, mode: str = "RGB", size_hw: Optional[Tuple[int, int]] = None):
+    """Decode (+convert, + optional PIL-exact BILINEAR resize) one image to a
+    (H, W, C) uint8 array; None when the native path is unavailable or the
+    container/colour-space is unsupported (caller falls back to PIL)."""
+    lib = get_imagepipe_lib()
+    if lib is None:
+        return None
+    dh, dw = size_hw if size_hw is not None else (0, 0)
+    out = ctypes.c_void_p()
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    c = ctypes.c_int32()
+    rc = lib.ip_load_u8(
+        str(path).encode(), _WANT_CH[mode], dh, dw,
+        ctypes.byref(out), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    try:
+        n = h.value * w.value * c.value
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), shape=(n,)
+        ).reshape(h.value, w.value, c.value).copy()
+    finally:
+        lib.ip_free(out)
+    return arr
+
+
+def resize_u8_native(arr: np.ndarray, size_hw: Tuple[int, int]) -> Optional[np.ndarray]:
+    """PIL.Image.BILINEAR-exact resize of an (H, W[, C]) uint8 array."""
+    lib = get_imagepipe_lib()
+    if lib is None:
+        return None
+    squeeze = arr.ndim == 2
+    src = np.ascontiguousarray(arr[..., None] if squeeze else arr, dtype=np.uint8)
+    sh, sw, c = src.shape
+    dh, dw = size_hw
+    dst = np.empty((dh, dw, c), dtype=np.uint8)
+    rc = lib.ip_resize_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), sh, sw, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dh, dw,
+    )
+    if rc != 0:
+        return None
+    return dst[..., 0] if squeeze else dst
+
+
+def load_norm_batch_native(
+    paths,
+    size_hw: Tuple[int, int],
+    mean,
+    std,
+    mode: str = "RGB",
+    nthreads: int = 0,
+) -> Optional[np.ndarray]:
+    """Threaded decode->resize->normalise of a batch of image files into a
+    float32 (N, H, W, C) array, bit-identical to the PIL+numpy transform
+    chain; None on unavailability or any per-image failure (PIL fallback)."""
+    lib = get_imagepipe_lib()
+    if lib is None or not paths:
+        return None
+    want = _WANT_CH[mode]
+    dh, dw = size_hw
+    n = len(paths)
+    if nthreads <= 0:
+        nthreads = min(n, os.cpu_count() or 1)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    mean = np.ascontiguousarray(mean, dtype=np.float32)
+    std = np.ascontiguousarray(std, dtype=np.float32)
+    out = np.empty((n, dh, dw, want), dtype=np.float32)
+    rc = lib.ip_load_norm_batch(
+        c_paths, n, want, dh, dw,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nthreads,
+    )
+    if rc != 0:
+        return None
+    return out
