@@ -436,11 +436,11 @@ int ip_load_norm_batch(const char** paths, int n, int want_ch, int dh, int dw,
             int W, H, C;
             const int rc = load_u8_impl(paths[i], want_ch, dh, dw, &raw, &W, &H, &C);
             if (rc) {
-                int expect = 0;
+                // record min(first-failing index); 0 means no failure yet
                 const int mine = i + 1;
-                while (!fail.compare_exchange_weak(expect, mine)) {
-                    if (expect != 0 && expect <= mine) break;
-                    if (expect > mine) expect = 0;
+                int cur = fail.load();
+                while ((cur == 0 || cur > mine) &&
+                       !fail.compare_exchange_weak(cur, mine)) {
                 }
                 return;
             }

@@ -74,6 +74,38 @@ def test_resize_bit_exact_vs_pillow(lib, src_hw, dst_hw, ch):
     np.testing.assert_array_equal(nat, pil)
 
 
+@pytest.mark.parametrize("mode", ["P", "1"])
+def test_resize_palette_and_bilevel_stay_on_pil_path(lib, mode):
+    """Pillow resamples P/1 images with NEAREST whatever filter is asked;
+    interpolating palette indices / booleans natively would be wrong, so
+    resize_bilinear must route those modes through PIL."""
+    rng = np.random.default_rng(11)
+    img = Image.fromarray(rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)).convert(
+        mode, **({"palette": Image.ADAPTIVE} if mode == "P" else {})
+    )
+    got = T.resize_bilinear(img, (23, 31))
+    want = np.asarray(img.resize((31, 23), Image.BILINEAR))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_many_failures_terminates(lib, tmp_path):
+    """Several corrupt files across threads must report failure promptly (the
+    min-index CAS in ip_load_norm_batch must not livelock when failures land
+    out of order)."""
+    paths = []
+    for i in range(16):
+        p = tmp_path / f"f{i}.jpg"
+        if i == 5:
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p, quality=90)
+        else:
+            p.write_bytes(b"\xff\xd8not a real jpeg" + bytes([i]))
+        paths.append(p)
+    out = native.load_norm_batch_native(
+        paths, (16, 16), T.IMAGENET_MEAN, T.IMAGENET_STD, nthreads=8
+    )
+    assert out is None
+
+
 @pytest.mark.parametrize("mode", ["RGB", "L"])
 def test_decode_bit_exact_vs_pillow(lib, image_files, mode):
     for name, path in image_files.items():

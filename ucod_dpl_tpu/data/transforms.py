@@ -33,7 +33,14 @@ def _resize_pil(img: Image.Image, size_hw: Tuple[int, int]) -> Image.Image:
 
 def resize_bilinear(img, size_hw: Tuple[int, int]) -> np.ndarray:
     """Pillow-BILINEAR resize of a PIL image or uint8 HW[C] array -> uint8
-    array.  Uses the native kernel when available (bit-exact vs Pillow)."""
+    array.  Uses the native kernel when available (bit-exact vs Pillow).
+
+    Palette ("P") and bilevel ("1") images stay on the PIL path: their numpy
+    view is palette indices / booleans, and Pillow resamples those modes with
+    NEAREST regardless of the requested filter — interpolating the raw values
+    would be wrong."""
+    if isinstance(img, Image.Image) and img.mode not in ("L", "RGB", "RGBA"):
+        return np.asarray(_resize_pil(img, size_hw))
     arr = np.asarray(img)
     if arr.dtype == np.uint8:
         out = native.resize_u8_native(arr, size_hw)
