@@ -14,7 +14,12 @@ XLA tile padding):
   6. the flash-attention VJP (round 5): grads through the differentiated
      composed backbone are finite and agree with the XLA-VJP escape hatch —
      the backward kernels see on-device operands with garbage tile padding,
-     which no CPU/interpret test can produce.
+     which no CPU/interpret test can produce;
+  7. the native host image pipeline (round 6): the C++ decode/resize/
+     normalise library builds+loads on THIS host and its batch output is
+     bit-identical to the PIL chain (a host where it silently failed to
+     build would fall back to PIL, slower but correct — this check makes
+     that visible).
 
 Exit code 0 = all checks pass.  ~3-4 min on a fresh process (compiles);
 seconds when the compile cache is warm.
@@ -192,6 +197,44 @@ def main() -> int:
         )
     except Exception as e:  # noqa: BLE001
         check("flash-attention VJP finite + matches XLA VJP", False,
+              f"raised: {type(e).__name__}: {e}")
+
+    # 7. native host image pipeline (host-side; no device involved)
+    try:
+        import tempfile
+
+        from PIL import Image
+
+        from ucod_dpl_tpu.data import transforms as T
+        from ucod_dpl_tpu.utils import native
+
+        if native.get_imagepipe_lib() is None:
+            check(
+                "native image pipeline builds + bit-exact vs PIL", False,
+                "library unavailable on this host (PIL fallback active — "
+                "correct but slower; check g++/libjpeg/libpng)",
+            )
+        else:
+            with tempfile.TemporaryDirectory() as td:
+                prng = np.random.default_rng(6)
+                paths = []
+                for i in range(4):
+                    p = os.path.join(td, f"{i}.jpg" if i % 2 else f"{i}.png")
+                    Image.fromarray(
+                        prng.integers(0, 256, (90 + i, 110, 3), dtype=np.uint8)
+                    ).save(p)
+                    paths.append(p)
+                nat = native.load_norm_batch_native(
+                    paths, (64, 64), T.IMAGENET_MEAN, T.IMAGENET_STD
+                )
+                ref = np.stack([T._pil_load_image(p, (64, 64)) for p in paths])
+                ok = nat is not None and np.array_equal(nat, ref)
+                check(
+                    "native image pipeline builds + bit-exact vs PIL", ok,
+                    "batch output bit-identical" if ok else "MISMATCH vs PIL chain",
+                )
+    except Exception as e:  # noqa: BLE001
+        check("native image pipeline builds + bit-exact vs PIL", False,
               f"raised: {type(e).__name__}: {e}")
 
     print("SELF-CHECK:", "OK" if not failures else f"FAILED ({failures})")
