@@ -99,6 +99,35 @@ def test_value_unchanged_by_vjp_wrapper():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_grad_finite_with_rowmax_escape_hatch(monkeypatch):
+    """UCOD_ATTN_ROWMAX_SOFTMAX=1 exists for inputs that breach the fixed-
+    shift guard band; the backward must honour it too (the flash backward's
+    fixed-shift softmax recompute would overflow on exactly those inputs,
+    so rowmax routes the VJP to the row-max-stable XLA backward)."""
+    monkeypatch.setenv("UCOD_ATTN_ROWMAX_SOFTMAX", "1")
+    rng = np.random.default_rng(4)
+    # logit std ~40 natural-log units -> row maxima well past the ~109
+    # overflow threshold of the fixed-shift exp2 (the flash backward would
+    # produce Inf/NaN here), while the softmax stays numerically comparable
+    q, k, v = (
+        jnp.asarray(2.25 * rng.standard_normal((1, 150, 128)), jnp.float32)
+        for _ in range(3)
+    )
+    # confirm the magnitudes actually breach the guard band
+    s = np.einsum("qd,kd->qk", np.asarray(q[0, :, :64]), np.asarray(k[0, :, :64]))
+    assert s.max() > 130.0, "test inputs no longer breach the guard band"
+    loss_p = lambda *a: jnp.sum(multi_head_attention(*a, 2, scale=1.0) ** 2)
+    loss_x = lambda *a: jnp.sum(_xla_mha(*a, 2, 1.0) ** 2)
+    grads_p = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    grads_x = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for name, gp, gx in zip("qkv", grads_p, grads_x):
+        assert bool(jnp.isfinite(gp).all()), f"d{name} not finite"
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=1e-2, atol=1e-2,
+            err_msg=f"d{name}",
+        )
+
+
 def test_dino_lora_grads_with_flash_vjp():
     """End-to-end: LoRA-style grads through a tiny DINO backbone with the
     Pallas attention + flash VJP (interpret) match the XLA-attention path

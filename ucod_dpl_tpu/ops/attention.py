@@ -482,7 +482,13 @@ def _bwd_block_q(lp: int, itemsize: int):
     tail-zeroing copies, and Mosaic double-buffering.  Budget 15MB keeps a
     ~1MB margin under the observed 16MB hard limit."""
     fixed = 512 * lp * (17 if itemsize == 4 else 12)
-    budget = int(15.0 * 1024 * 1024) - fixed
+    # mirror the forward's generation gate (_score_budget_bytes): v2/v3
+    # have 16MB TOTAL VMEM, so the 15MB-against-16MB-scoped-limit law of
+    # v5e would pick blocks that cannot compile there — halve the budget
+    # (overruns are loud compile errors, but the point of this law is to
+    # take the XLA fallback instead of crashing)
+    budget_mb = 15.0 if _score_budget_bytes() >= 16 * 1024 * 1024 else 7.0
+    budget = int(budget_mb * 1024 * 1024) - fixed
     if budget < 16 * 3 * 4 * lp:  # not even a 16-row block fits
         return None
     n = 1
@@ -533,7 +539,12 @@ def _packed_attention_diff_fwd(q, k, v, num_heads, scale, rowmax):
 def _packed_attention_diff_bwd(num_heads, scale, rowmax, res, do):
     q, k, v, o = res
     lp = _ceil_to(q.shape[1], 128)
-    if _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize) is None:
+    # rowmax=True means the forward needed row-max-subtracted softmax (the
+    # fixed-shift guard band was breached); the flash backward recomputes
+    # softmax with the fixed shift and would overflow on exactly those
+    # inputs — use the XLA backward, whose jax.nn.softmax recompute is
+    # row-max-stable and matches the rowmax forward semantics.
+    if rowmax or _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize) is None:
         dq, dk, dv = _xla_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
     else:
         dq, dk, dv = _pallas_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
