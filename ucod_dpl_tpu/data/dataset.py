@@ -468,6 +468,7 @@ class DataLoader:
         self.shard = shard
         self.seed = seed
         self._epoch = 0
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle order for the next iteration to ``epoch``.
@@ -479,6 +480,13 @@ class DataLoader:
         (sharding slices it afterwards).  Without a ``set_epoch`` call the
         counter self-advances per iteration (fresh order each epoch)."""
         self._epoch = int(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """Drop the first ``n`` batches of the NEXT iteration (one-shot)
+        without loading them — mid-epoch preemption resume: with the
+        (seed, epoch)-deterministic order, skipping the batches the
+        interrupted run already applied continues its exact trajectory."""
+        self._skip_batches = int(n)
 
     def _indices(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
@@ -505,6 +513,12 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         order = self._indices()
         self._epoch += 1  # self-advance when the caller never set_epoch's
+        if self._skip_batches:
+            # a skipped full batch is batch_size indices; a drop_last tail
+            # would not have been yielded anyway, so slicing keeps the
+            # remaining batch boundaries identical
+            order = order[self._skip_batches * self.batch_size :]
+            self._skip_batches = 0
         if self.prefetch <= 0:
             yield from self._batches(order)
             return

@@ -166,8 +166,11 @@ class LocalRefineEvaluator:
 
         progress = ProgressReporter(runner.logger, n_total, f"eval {dataset_name}")
 
+        from . import preempt
+
         loader_bs = runner.val_dataloader.batch_size
         for batch in runner.val_dataloader:
+            preempt.check()  # see eval_loop.py — no-op outside trainers
             labels = batch["label"]
             paths = batch["img_path"]
             l_input = np.asarray(batch["features"], np.float32)
@@ -320,22 +323,17 @@ class LocalRefineTrainLoop:
     def _install_preemption_handler(self):
         """Deferred-flag preemption handling, like the stage-1 loop
         (train_loop.py::_install_preemption_handler — saving from inside a
-        signal handler is unsound while a jitted step holds state)."""
-        import signal
+        signal handler is unsound while a jitted step holds state).  Uses
+        the shared :mod:`engine.preempt` flag so the CORAL validation loop
+        this trainer launches polls the same request per batch."""
+        from . import preempt
 
-        self._preempt_signum = None
+        preempt.install()
 
-        def handler(signum, frame):
-            self._preempt_signum = signum
+    def _maybe_preempt_exit(self, epoch: int, signum=None) -> None:
+        from . import preempt
 
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            try:
-                signal.signal(sig, handler)
-            except ValueError:  # non-main thread
-                pass
-
-    def _maybe_preempt_exit(self, epoch: int) -> None:
-        signum = getattr(self, "_preempt_signum", None)
+        signum = signum if signum is not None else preempt.requested()
         if signum is None:
             return
         self.runner.refiner_params = {
@@ -392,8 +390,17 @@ class LocalRefineTrainLoop:
             if (epoch + 1) % vc.get("val_interval", 4) == 0 and (epoch + 1) >= vc.get(
                 "val_start", 4
             ):
-                runner.launch_val()
+                from . import preempt
+
+                try:
+                    runner.launch_val()
+                except preempt.Preempted as e:
+                    # mid-validation preemption: refiner state is coherent
+                    # (val never mutates it) — save and exit now instead of
+                    # waiting out the sweep
+                    self._maybe_preempt_exit(epoch, e.signum)
             self._save(epoch + 1)
+            self._maybe_preempt_exit(epoch)
 
     def _save(self, epoch: int) -> None:
         path = self.runner.save_refiner(epoch)

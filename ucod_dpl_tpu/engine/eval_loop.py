@@ -348,8 +348,15 @@ class LookTwiceEvaluator:
                         del io_futures[:128]
             progress.update(n)
 
+        from . import preempt
+
         pending = None
         for batch in self.runner.val_dataloader:
+            # cooperative preemption poll: when the stage-1 trainer runs this
+            # validation, a SIGTERM mid-val must not wait out the whole sweep
+            # (the trainer catches Preempted and checkpoints) — a no-op in
+            # standalone eval CLIs, which never install the handler
+            preempt.check()
             dev = dispatch(batch)
             if pending is not None:
                 process(pending)

@@ -141,6 +141,17 @@ class TrainLoop:
         self.start_epoch = int(meta.get("epoch", 0))
         self.finetune = bool(meta.get("finetune", False))
         self.best_mae = float(meta.get("best_mae", float("inf")))
+        # mid-epoch preemption state: which phase of start_epoch was running
+        # and how many batches it had already applied — consumed once by
+        # run()/_run_epoch/_train_discriminator so the resumed trajectory
+        # skips exactly the already-applied batches instead of replaying
+        # them on top of state that contains their updates
+        if meta.get("phase"):
+            self._resume_phase = (
+                str(meta["phase"]),
+                int(meta.get("dis_pass", 0)),
+                int(meta.get("batch_done", 0)),
+            )
         if self.lora_enabled and (
             os.path.exists(path + "_lora.npz") or os.path.isdir(path + "_lora.orbax")
         ):
@@ -156,10 +167,12 @@ class TrainLoop:
             f"finetune={self.finetune})"
         )
 
-    def _save_full_state(self, path: str, epoch: int) -> None:
+    def _save_full_state(self, path: str, epoch: int, phase_meta=None) -> None:
         from .checkpoint import save_train_state
 
         meta = {"epoch": epoch, "finetune": self.finetune, "best_mae": self.best_mae}
+        if phase_meta:
+            meta.update(phase_meta)
         save_train_state(path, self.state, meta, backend=self.ckpt_backend)
         if self.lora_enabled:
             save_train_state(
@@ -204,32 +217,38 @@ class TrainLoop:
         """Checkpoint full state on SIGTERM/SIGINT (preemption safety —
         SURVEY §5.3: the reference has no elastic/preemption story).
 
-        DEFERRED design: the handler only sets a flag; the epoch loops save
-        and exit at the next step boundary (ms-scale latency).  Saving
-        directly inside the handler is unsound: the signal can land while
-        the jitted step holds ``self.state``'s DONATED buffers, and the
-        save then crashes on deleted arrays — the process would die
-        without a checkpoint (caught by tests/test_preemption.py)."""
-        import signal
+        DEFERRED design (see :mod:`engine.preempt`): the handler only sets a
+        flag; the epoch loops save and exit at the next safe boundary.
+        Saving directly inside the handler is unsound: the signal can land
+        while the jitted step holds ``self.state``'s DONATED buffers, and
+        the save then crashes on deleted arrays — the process would die
+        without a checkpoint (caught by tests/test_preemption.py).  The
+        validation loops poll the same flag per batch and raise
+        :class:`~engine.preempt.Preempted`, handled in :meth:`run`."""
+        from . import preempt
 
-        self._preempt_signum = None
+        preempt.install()
 
-        def handler(signum, frame):
-            self._preempt_signum = signum
+    def _maybe_preempt_exit(self, signum=None) -> None:
+        """Save full state and exit if a preemption signal was flagged.
 
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            try:
-                signal.signal(sig, handler)
-            except ValueError:  # non-main thread
-                pass
+        The checkpoint records the phase progress of the current epoch
+        (``phase``/``dis_pass``/``batch_done``) so a resumed run skips the
+        batches whose updates the saved state already contains — replaying
+        them would double-apply and diverge from the uninterrupted run."""
+        from . import preempt
 
-    def _maybe_preempt_exit(self) -> None:
-        """Save full state and exit if a preemption signal was flagged."""
-        signum = getattr(self, "_preempt_signum", None)
+        signum = signum if signum is not None else preempt.requested()
         if signum is None:
             return
         path = f"{self.runner.ckp_dir}/state_preempt"
-        self._save_full_state(path, self._cur_epoch)
+        phase = getattr(self, "_phase", None)
+        phase_meta = None
+        if phase is not None:
+            phase_meta = {
+                "phase": phase[0], "dis_pass": phase[1], "batch_done": phase[2],
+            }
+        self._save_full_state(path, self._cur_epoch, phase_meta)
         self.runner.logger.log(
             f"Preemption signal {signum}: state saved to {path}; resume with "
             f"--resume {path}"
@@ -237,25 +256,35 @@ class TrainLoop:
         raise SystemExit(128 + signum)
 
     def run(self) -> None:
+        from . import preempt
+
         logger = self.runner.logger
         logger.log(f"Starting training: {self.max_epoch} epochs")
         epoch = self.start_epoch
         self._cur_epoch = epoch
+        self._phase = None
         self._install_preemption_handler()
         while epoch < self.max_epoch:
             self._cur_epoch = epoch
+            self._maybe_preempt_exit()
             if not self.finetune and epoch == self.max_epoch + self.start_finetune:
                 self._enter_finetune()
 
+            rp = getattr(self, "_resume_phase", None)
+            resumed_in_train = rp is not None and rp[0] == "train" and epoch == self.start_epoch
             if (
                 self.merge_method == "dis"
                 and not self.finetune
                 and epoch % self.dis_intertrain == 0
+                # a mid-train-phase preemption already ran this epoch's
+                # discriminator inter-training — don't re-apply it
+                and not resumed_in_train
             ):
                 self._train_discriminator(epoch)
 
             self._run_epoch(epoch)
             epoch += 1
+            self._cur_epoch = epoch  # post-epoch saves/val belong to the boundary
 
             if epoch >= self.save_start and epoch % self.save_interval == 0:
                 self._sync_runner_params()
@@ -266,6 +295,7 @@ class TrainLoop:
                     self._save_full_state(
                         f"{self.runner.ckp_dir}/state_epoch{epoch}", epoch
                     )
+            self._maybe_preempt_exit()
 
             if (
                 self.enable_val
@@ -273,7 +303,14 @@ class TrainLoop:
                 and epoch % self.val_interval == 0
             ):
                 self._sync_runner_params()
-                result = self.runner.launch_val_look_twice()
+                try:
+                    result = self.runner.launch_val_look_twice()
+                except preempt.Preempted as e:
+                    # the eval loop polls the flag per batch so a long
+                    # validation cannot swallow the preemption grace period;
+                    # train state is coherent here (val never mutates it)
+                    self._maybe_preempt_exit(e.signum)
+                    raise  # unreachable (exit raises SystemExit)
                 self._update_best(result)
 
         self._sync_runner_params()
@@ -316,10 +353,10 @@ class TrainLoop:
         logger = self.runner.logger
         adv = 0.0 if self.finetune else 1.0
         t0 = time.perf_counter()
-        n = 0
         last_aux = None
         # batch order = f(seed, epoch): resumed runs replay the exact order
         self.runner.train_dataloader.set_epoch(epoch)
+        n = self._consume_resume_skip("train", epoch)
         for batch in self.runner.train_dataloader:
             features, plabels = self._device_batch(
                 batch, need_features=not self.lora_enabled
@@ -344,12 +381,14 @@ class TrainLoop:
                 )
             last_aux = aux
             n += 1
+            self._phase = ("train", 0, n)
             self._maybe_preempt_exit()
             if n % max(self.log_interval, 1) == 0:
                 logger.log(
                     f"epoch {epoch} iter {n}: loss={float(aux['loss']):.4f} "
                     f"dis={float(aux['dis_loss']):.4f} w={float(aux['merge_weight']):.2f}"
                 )
+        self._phase = None
         dt = time.perf_counter() - t0
         if last_aux is not None:
             logger.log(
@@ -357,20 +396,45 @@ class TrainLoop:
                 f"({n / max(dt, 1e-9):.2f} it/s), loss={float(last_aux['loss']):.4f}"
             )
 
+    def _consume_resume_skip(self, phase: str, epoch: int, dis_pass: int = 0) -> int:
+        """Batches of (phase, epoch[, dis_pass]) the preempted run already
+        applied: skip them in the loader (one-shot) and start the batch
+        counter there.  Returns 0 when this is not the resumed phase."""
+        rp = getattr(self, "_resume_phase", None)
+        if rp is None or epoch != self.start_epoch or rp[0] != phase:
+            return 0
+        if phase == "dis" and rp[1] != dis_pass:
+            return 0
+        self._resume_phase = None
+        if rp[2]:
+            self.runner.train_dataloader.skip_batches(rp[2])
+            self.runner.logger.log(
+                f"Resume: skipping {rp[2]} already-applied {phase} batches "
+                f"of epoch {epoch}"
+            )
+        return rp[2]
+
     def _train_discriminator(self, epoch: int) -> None:
         logger = self.runner.logger
-        for d in range(self.dis_epochs):
+        rp = getattr(self, "_resume_phase", None)
+        start_pass = rp[1] if rp is not None and rp[0] == "dis" and epoch == self.start_epoch else 0
+        for d in range(start_pass, self.dis_epochs):
             losses = []
             # distinct deterministic orders for discriminator passes
             self.runner.train_dataloader.set_epoch(1_000_000 + epoch * 100 + d)
+            n = self._consume_resume_skip("dis", epoch, dis_pass=d)
             for batch in self.runner.train_dataloader:
                 features, plabels = self._device_batch(batch)
                 self.state, aux = self._dis_step(self.state, features, plabels)
                 losses.append(float(aux["dis_train_loss"]))
+                n += 1
+                self._phase = ("dis", d, n)
                 self._maybe_preempt_exit()
-            logger.log(
-                f"epoch {epoch}: discriminator pass mean loss {np.mean(losses):.4f}"
-            )
+            if losses:
+                logger.log(
+                    f"epoch {epoch}: discriminator pass mean loss {np.mean(losses):.4f}"
+                )
+        self._phase = None
 
     def _update_best(self, result: Dict[str, float]) -> None:
         if result["MAE"] < self.best_mae:
