@@ -235,6 +235,33 @@ def test_grid_patch_arrays_match_reference_crop_loop(lib, image_files):
     np.testing.assert_array_equal(got, want.astype(np.float32))
 
 
+def test_decode_parity_probe_passes_here(lib):
+    """This host's libjpeg/libpng must match Pillow's (the CI baseline);
+    elsewhere a mismatch downgrades to PIL decode instead of diverging."""
+    assert native._decode_parity_ok() is True
+
+
+def test_failed_decode_parity_disables_decode_keeps_resize(lib, image_files, monkeypatch):
+    """A host failing the decode-parity probe must fall back to PIL decode
+    while keeping the (by-construction-exact) native resize, with outputs
+    unchanged."""
+    monkeypatch.setattr(native, "_decode_parity", False)
+    assert native.load_image_u8(image_files["rgb.jpg"], "RGB") is None
+    assert (
+        native.load_norm_batch_native(
+            [image_files["rgb.jpg"]], (16, 16), T.IMAGENET_MEAN, T.IMAGENET_STD
+        )
+        is None
+    )
+    # resize is decode-independent and stays native
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert native.resize_u8_native(arr, (4, 4)) is not None
+    # loaders still produce the exact PIL-chain bytes through the fallback
+    got = T.load_image_transform(image_files["rgb.jpg"], (32, 32))
+    want = _pil_reference_image(image_files["rgb.jpg"], (32, 32)).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_env_gate_disables_native(tmp_path):
     """UCOD_NATIVE_IO=0 keeps the library unloaded (checked in a subprocess
     so the module-level cache in utils.native is fresh)."""

@@ -59,16 +59,23 @@ class CacheSet:
         self.logger = logger
         self._caches: Dict[str, ArrayCache] = {}
 
+    def _path(self, kind: str) -> str:
+        if kind == "pseudo_label":
+            return os.path.join(self.cache_dir, "pseudo_label_cache", self.dataset)
+        return os.path.join(
+            self.cache_dir, f"{kind}_cache", self.extractor_type, self.mode, self.dataset
+        )
+
     def get(self, kind: str) -> ArrayCache:
         if kind not in self._caches:
-            if kind == "pseudo_label":
-                path = os.path.join(self.cache_dir, "pseudo_label_cache", self.dataset)
-            else:
-                path = os.path.join(
-                    self.cache_dir, f"{kind}_cache", self.extractor_type, self.mode, self.dataset
-                )
-            self._caches[kind] = ArrayCache(path, logger=self.logger)
+            self._caches[kind] = ArrayCache(self._path(kind), logger=self.logger)
         return self._caches[kind]
+
+    def index_exists(self, kind: str) -> bool:
+        """Cheap completion probe: ``index.json`` is atomically written LAST
+        by a build, so its existence implies the cache is complete — one
+        stat, vs the full per-sample-file integrity sweep of ``reopen``."""
+        return os.path.exists(os.path.join(self._path(kind), "index.json"))
 
     def reopen(self, kind: str) -> ArrayCache:
         """Drop the handle and re-run the open-time integrity check — used
@@ -147,12 +154,19 @@ class CODDataset:
         )
         deadline = _time.monotonic() + timeout_s
         while True:
-            try:
-                bad = [k for k in kinds if self.caches.reopen(k).mode != "r"]
-            except Exception:  # transient partial state mid-build
-                bad = list(kinds)
+            # cheap probe first: the full reopen() integrity check stats
+            # every sample file, which a pod of waiters polling every 2s
+            # would hammer a shared filesystem with for the whole build —
+            # index.json is written last, so one stat gates the sweep and
+            # the expensive check runs ~once, at completion
+            bad = [k for k in kinds if not self.caches.index_exists(k)]
             if not bad:
-                return
+                try:
+                    bad = [k for k in kinds if self.caches.reopen(k).mode != "r"]
+                except Exception:  # transient partial state mid-build
+                    bad = list(kinds)
+                if not bad:
+                    return
             if _time.monotonic() > deadline:
                 raise RuntimeError(
                     f"timed out after {timeout_s}s waiting for process 0 to "

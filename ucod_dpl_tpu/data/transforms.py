@@ -9,7 +9,11 @@ The hot operations (decode, resize, normalise) are served by the native
 image pipeline in ``native/imagepipe.cpp`` when it is available — the resize
 there reimplements Pillow's BILINEAR resampling bit-exactly (same fixed-point
 coefficients, same clip semantics, verified in ``tests/test_native_io.py``),
-so the fast path and the PIL fallback produce identical bytes.  Set
+so the fast path and the PIL fallback produce identical bytes.  DECODE
+parity additionally rests on the system libjpeg/libpng matching what Pillow
+bundles, so ``utils.native`` probes decode parity once per process and
+disables the native decode (keeping the native resize) on hosts where it
+differs — the identical-bytes contract holds either way.  Set
 ``UCOD_NATIVE_IO=0`` to force the pure-PIL path.
 """
 

@@ -112,15 +112,21 @@ class Runner:
             use_features=mc.get("dis_use_features", False),
         )
 
-    def _make_dataset(self, set_cfg, ds_mode: str, keep_size: bool):
+    def _dataset_cls(self, set_cfg):
         from ucod_dpl_tpu.utils.registry import DATASETS
 
+        return DATASETS.get(set_cfg.get("type", "USCODDataset"))
+
+    def _dataset_extra_kwargs(self, set_cfg, ds_mode: str) -> dict:
+        """Subclass hook for dataset-class-specific constructor kwargs."""
+        return {}
+
+    def _make_dataset(self, set_cfg, ds_mode: str, keep_size: bool):
         dc = self.cfg.dataset_cfg
-        ds_cls = DATASETS.get(set_cfg.get("type", "USCODDataset"))
-        extra = {}
+        extra = self._dataset_extra_kwargs(set_cfg, ds_mode)
         if "cache_build_batch" in set_cfg:  # optional device-batch override
             extra["cache_build_batch"] = int(set_cfg["cache_build_batch"])
-        return ds_cls(
+        return self._dataset_cls(set_cfg)(
             set_cfg,
             dc.feature_extractor_cfg,
             dataset_dir=dc.dataset_dir,
@@ -265,31 +271,19 @@ class LocalRefineRunner(Runner):
                 jax.random.PRNGKey(self.cfg.get("seed", 42) + 2), dim=mc.dim
             )
 
-    def _make_dataset(self, set_cfg, ds_mode: str, keep_size: bool):
+    def _dataset_cls(self, set_cfg):
         from ucod_dpl_tpu.utils.registry import DATASETS
 
-        dc = self.cfg.dataset_cfg
         ds_cls = DATASETS.get(set_cfg.get("type", "LRDataset"))
         if ds_cls is CODDataset:  # stage 2 needs the patch-capable dataset
             ds_cls = LRDataset
-        extra = {}
-        if "cache_build_batch" in set_cfg:  # optional device-batch override
-            extra["cache_build_batch"] = int(set_cfg["cache_build_batch"])
-        return ds_cls(
-            set_cfg,
-            dc.feature_extractor_cfg,
-            dataset_dir=dc.dataset_dir,
-            cache_dir=dc.cache_dir,
-            mode=ds_mode,
-            keep_size=keep_size,
-            image_size=tuple(set_cfg.get("image_size", (518, 518))),
-            require_label=set_cfg.get("require_label", False),
-            feature_extractor=self.feature_extractor,
-            logger=self.logger,
-            window_size=self.cfg.model_cfg.get("window_size", 3),
-            require_m_patches=set_cfg.get("require_m_patches", ds_mode == "train"),
-            **extra,
-        )
+        return ds_cls
+
+    def _dataset_extra_kwargs(self, set_cfg, ds_mode: str) -> dict:
+        return {
+            "window_size": self.cfg.model_cfg.get("window_size", 3),
+            "require_m_patches": set_cfg.get("require_m_patches", ds_mode == "train"),
+        }
 
     def launch_val(self) -> Dict[str, float]:
         from .coral_loop import LocalRefineEvaluator

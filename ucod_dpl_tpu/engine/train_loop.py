@@ -108,6 +108,21 @@ class TrainLoop:
                 ),
                 donate_argnums=(0, 1, 2),
             )
+            # discriminator inter-training must see the features the stage-1
+            # step scores it on — the LIVE adapted backbone's, not the stale
+            # cached base-backbone features (as adapters drift, a
+            # cache-trained discriminator's p_s/p_p and hence the APM merge
+            # weight would degrade silently)
+            from ucod_dpl_tpu.models.lora import lora_forward
+
+            self._lora_extract = jax.jit(
+                lambda lora_p, px: lora_forward(
+                    fe.params, lora_p, px, fe.config,
+                    rank=int(lc.get("rank", 2)),
+                    alpha=float(lc.get("alpha", 4.0)),
+                    compute_dtype=fe.compute_dtype, remat=False,
+                )["key_features"].astype(jnp.float32)
+            )
 
         self.state = TrainState(
             decoder=runner.decoder_params,
@@ -424,7 +439,18 @@ class TrainLoop:
             self.runner.train_dataloader.set_epoch(1_000_000 + epoch * 100 + d)
             n = self._consume_resume_skip("dis", epoch, dis_pass=d)
             for batch in self.runner.train_dataloader:
-                features, plabels = self._device_batch(batch)
+                features, plabels = self._device_batch(
+                    batch, need_features=not self.lora_enabled
+                )
+                if self.lora_enabled:
+                    # current-adapter features (no grad) — see __init__
+                    pixels = np.asarray(batch["pixels"], dtype=np.float32)
+                    mesh = self.runner.mesh
+                    pixels = jax.device_put(
+                        pixels,
+                        data_sharding(mesh, pixels.ndim, batch_size=pixels.shape[0]),
+                    )
+                    features = self._lora_extract(self.lora_params, pixels)
                 self.state, aux = self._dis_step(self.state, features, plabels)
                 losses.append(float(aux["dis_train_loss"]))
                 n += 1

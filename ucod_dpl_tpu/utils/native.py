@@ -239,11 +239,106 @@ def get_imagepipe_lib() -> Optional[ctypes.CDLL]:
 
 _WANT_CH = {"L": 1, "RGB": 3}
 
+_decode_parity: Optional[bool] = None
+
+
+def _decode_parity_ok() -> bool:
+    """One-time probe: the native JPEG/PNG decode must be byte-identical to
+    Pillow ON THIS HOST.
+
+    The resize is bit-exact BY CONSTRUCTION (it reimplements Pillow's
+    resampling), but JPEG decode parity rests on the system libjpeg being
+    compatible with the libjpeg-turbo Pillow bundles — an IJG libjpeg with a
+    different IDCT/upsampling would differ by ±1/pixel and silently change
+    features, caches and metrics between the native path and the PIL
+    fallback (and between pod hosts).  The probe decodes noise + gradient
+    images at 4:2:0 and 4:4:4 subsampling plus grayscale and palette/PNG
+    variants through both stacks; ANY byte difference disables the native
+    decode on this host (resize stays on), with a log line."""
+    global _decode_parity
+    if _decode_parity is not None:
+        return _decode_parity
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    ok = True
+    try:
+        rng = np.random.default_rng(1234)
+        noise = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+        grad = np.stack(
+            list(
+                np.meshgrid(
+                    np.arange(31, dtype=np.uint8) * 8,
+                    np.arange(29, dtype=np.uint8) * 8,
+                    indexing="ij",
+                )
+            )
+            + [np.full((31, 29), 128, np.uint8)],
+            axis=-1,
+        )
+        with tempfile.TemporaryDirectory() as td:
+            cases = []
+            for name, arr, kw in (
+                ("n75.jpg", noise, {"quality": 75}),   # 4:2:0 subsampling
+                ("n95.jpg", noise, {"quality": 95}),   # 4:4:4
+                ("g75.jpg", grad, {"quality": 75}),
+                ("gray.jpg", noise[..., 0], {"quality": 85}),
+                ("rgb.png", noise, {}),
+                ("pal.png", None, {}),
+            ):
+                p = os.path.join(td, name)
+                if name == "pal.png":
+                    Image.fromarray(noise).convert(
+                        "P", palette=Image.ADAPTIVE
+                    ).save(p)
+                else:
+                    Image.fromarray(arr).save(p, **kw)
+                cases.append(p)
+            for p in cases:
+                for mode in ("RGB", "L"):
+                    with Image.open(p) as im:
+                        pil = np.asarray(im.convert(mode))
+                    nat = _load_image_u8_unchecked(p, mode)
+                    if nat is None:
+                        ok = False
+                        break
+                    if mode == "L":
+                        nat = nat[..., 0]
+                    if not np.array_equal(nat, pil):
+                        ok = False
+                        break
+                if not ok:
+                    break
+    except Exception:
+        ok = False
+    if not ok:
+        import logging
+
+        logging.getLogger("ucod").warning(
+            "native image DECODE disagrees with Pillow on this host (system "
+            "libjpeg/libpng variant?) — native decode disabled, PIL decode + "
+            "native resize in effect; outputs stay bit-identical to the PIL "
+            "chain."
+        )
+    _decode_parity = ok
+    return ok
+
 
 def load_image_u8(path, mode: str = "RGB", size_hw: Optional[Tuple[int, int]] = None):
     """Decode (+convert, + optional PIL-exact BILINEAR resize) one image to a
-    (H, W, C) uint8 array; None when the native path is unavailable or the
-    container/colour-space is unsupported (caller falls back to PIL)."""
+    (H, W, C) uint8 array; None when the native path is unavailable, the
+    host fails the decode-parity probe, or the container/colour-space is
+    unsupported (caller falls back to PIL)."""
+    if get_imagepipe_lib() is None or not _decode_parity_ok():
+        return None
+    return _load_image_u8_unchecked(path, mode, size_hw)
+
+
+def _load_image_u8_unchecked(
+    path, mode: str = "RGB", size_hw: Optional[Tuple[int, int]] = None
+):
     lib = get_imagepipe_lib()
     if lib is None:
         return None
@@ -297,9 +392,10 @@ def load_norm_batch_native(
 ) -> Optional[np.ndarray]:
     """Threaded decode->resize->normalise of a batch of image files into a
     float32 (N, H, W, C) array, bit-identical to the PIL+numpy transform
-    chain; None on unavailability or any per-image failure (PIL fallback)."""
+    chain; None on unavailability, a failed decode-parity probe, or any
+    per-image failure (PIL fallback)."""
     lib = get_imagepipe_lib()
-    if lib is None or not paths:
+    if lib is None or not paths or not _decode_parity_ok():
         return None
     want = _WANT_CH[mode]
     dh, dw = size_hw
