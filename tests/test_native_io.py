@@ -235,6 +235,75 @@ def test_grid_patch_arrays_match_reference_crop_loop(lib, image_files):
     np.testing.assert_array_equal(got, want.astype(np.float32))
 
 
+def test_decoder_survives_corrupt_inputs(lib, tmp_path):
+    """Truncated/corrupted/mislabeled containers must come back as error
+    codes (None), never crash the process — a segfault in the decoder would
+    take down a whole training run.  Exercises the libjpeg setjmp error
+    path, the libpng error path, and the container sniffing."""
+    rng = np.random.default_rng(5)
+    real = tmp_path / "real.jpg"
+    Image.fromarray(rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)).save(
+        real, quality=90
+    )
+    jpeg_bytes = real.read_bytes()
+    png = tmp_path / "real.png"
+    Image.fromarray(rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)).save(png)
+    png_bytes = png.read_bytes()
+
+    cases = {
+        "empty": b"",
+        "one_byte": b"\xff",
+        "jpeg_magic_only": b"\xff\xd8",
+        "jpeg_truncated_header": jpeg_bytes[:20],
+        "jpeg_truncated_body": jpeg_bytes[: len(jpeg_bytes) // 2],
+        "jpeg_corrupt_body": jpeg_bytes[:40]
+        + bytes(rng.integers(0, 256, 200, dtype=np.uint8).tolist())
+        + jpeg_bytes[240:],
+        "png_magic_only": png_bytes[:8],
+        "png_truncated": png_bytes[: len(png_bytes) // 2],
+        "png_corrupt_chunks": png_bytes[:16]
+        + bytes(rng.integers(0, 256, 64, dtype=np.uint8).tolist()),
+        "random_garbage": bytes(rng.integers(0, 256, 512, dtype=np.uint8).tolist()),
+    }
+    for name, payload in cases.items():
+        p = tmp_path / f"{name}.bin"
+        p.write_bytes(payload)
+        for mode in ("RGB", "L"):
+            for size in (None, (16, 16)):
+                got = native._load_image_u8_unchecked(p, mode, size)
+                # a half-readable file MAY decode; what it must never do is
+                # crash or return a malformed array
+                if got is not None:
+                    assert got.dtype == np.uint8 and got.ndim == 3
+    # and the threaded batch path with every image corrupt
+    out = native.load_norm_batch_native(
+        [tmp_path / f"{n}.bin" for n in cases], (16, 16),
+        T.IMAGENET_MEAN, T.IMAGENET_STD, nthreads=4,
+    )
+    assert out is None
+
+
+def test_decode_does_not_leak(lib, tmp_path):
+    """ip_load_u8's malloc'd buffers are freed by the wrapper (ip_free in a
+    finally) — 2000 decode+resize cycles must not grow RSS materially."""
+    rng = np.random.default_rng(6)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)).save(
+        p, quality=90
+    )
+
+    def rss_mb():
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+    for _ in range(50):  # warm allocator pools
+        native.load_image_u8(p, "RGB", (48, 48))
+    before = rss_mb()
+    for _ in range(2000):
+        assert native.load_image_u8(p, "RGB", (48, 48)) is not None
+    assert rss_mb() - before < 20.0, f"RSS grew {rss_mb() - before:.1f} MB"
+
+
 def test_decode_parity_probe_passes_here(lib):
     """This host's libjpeg/libpng must match Pillow's (the CI baseline);
     elsewhere a mismatch downgrades to PIL decode instead of diverging."""
