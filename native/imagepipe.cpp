@@ -209,7 +209,10 @@ int decode_jpeg(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h,
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = jerr_exit;
     jerr.pub.emit_message = jerr_emit;
-    uint8_t* buf = nullptr;
+    // volatile: buf is written between setjmp and longjmp — without it the
+    // error path's free() may see a stale register copy (C11 7.13.2.1 UB),
+    // leaking the buffer on every corrupt image
+    uint8_t* volatile buf = nullptr;
     if (setjmp(jerr.jb)) {
         jpeg_destroy_decompress(&cinfo);
         free(buf);
@@ -276,7 +279,7 @@ int decode_png(const uint8_t* data, size_t len, uint8_t** out, int* w, int* h,
         png_destroy_read_struct(&png, nullptr, nullptr);
         return 4;
     }
-    uint8_t* buf = nullptr;
+    uint8_t* volatile buf = nullptr;  // see decode_jpeg: setjmp-safe free
     std::vector<png_bytep> rows;
     if (setjmp(png_jmpbuf(png))) {
         png_destroy_read_struct(&png, &info, nullptr);

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ucod_dpl_tpu.config import CfgNode
 
 
-def _train_cfg(tmp_path, sub):
+def _train_cfg(tmp_path, sub, enable_val=False, save_interval=100):
     from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg
 
     root = tmp_path / sub
@@ -39,10 +39,14 @@ def _train_cfg(tmp_path, sub):
             "dis_epoch": 1,
             "step_lr_size": 25,
             "step_lr_gamma": 0.95,
-            "save_cfg": {"save_mode": "all", "save_interval": 100, "start_save": 0},
+            "save_cfg": {
+                "save_mode": "all", "save_interval": save_interval, "start_save": 0,
+            },
         }
     )
-    cfg.val_cfg.enable_val = False
+    cfg.val_cfg.enable_val = enable_val
+    cfg.val_cfg.val_interval = 2
+    cfg.val_cfg.start_val = 2
     cfg.dataset_cfg.trainloader_cfg.batch_size = 2  # 4 batches / epoch
     cfg.dataset_cfg.trainloader_cfg.shuffle = True  # order must matter
 
@@ -65,28 +69,35 @@ def _final_params(runner):
     }
 
 
-def _run_uninterrupted(tmp_path, sub):
+def _run_uninterrupted(tmp_path, sub, **cfg_kw):
     from ucod_dpl_tpu.engine import Runner
+    from ucod_dpl_tpu.engine.train_loop import TrainLoop
 
-    cfg = _train_cfg(tmp_path, sub)
+    cfg = _train_cfg(tmp_path, sub, **cfg_kw)
     runner = Runner(cfg, mode="train")
-    runner.launch_train()
-    return _final_params(runner)
+    loop = TrainLoop(cfg, runner)
+    loop.run()
+    return _final_params(runner), loop.best_mae
 
 
-def _run_preempted_then_resumed(tmp_path, sub, kind, target_calls):
-    """Train until the ``target_calls``-th step of ``kind`` completes, inject
+def _run_preempted_then_resumed(tmp_path, sub, kind, target_calls, **cfg_kw):
+    """Train until the ``target_calls``-th call of ``kind`` completes, inject
     the preemption flag (exactly what the SIGTERM handler does), let the loop
-    checkpoint + exit, then resume in a fresh runner and finish."""
+    checkpoint + exit, then resume in a fresh runner and finish.  ``kind``:
+    'train'/'dis' fire after a jitted step; 'boundary_save' fires inside the
+    epoch-boundary checkpoint save, BEFORE any due validation ran."""
     from ucod_dpl_tpu.engine import Runner, preempt
     from ucod_dpl_tpu.engine.train_loop import TrainLoop
 
-    cfg = _train_cfg(tmp_path, sub)
+    cfg = _train_cfg(tmp_path, sub, **cfg_kw)
     runner = Runner(cfg, mode="train")
     loop = TrainLoop(cfg, runner)
 
-    attr = {"train": "_train_step", "dis": "_dis_step"}[kind]
-    orig = getattr(loop, attr)
+    if kind == "boundary_save":
+        holder, attr = runner, "save_checkpoint"
+    else:
+        holder, attr = loop, {"train": "_train_step", "dis": "_dis_step"}[kind]
+    orig = getattr(holder, attr)
     calls = {"n": 0}
 
     def wrapped(*a, **k):
@@ -96,7 +107,7 @@ def _run_preempted_then_resumed(tmp_path, sub, kind, target_calls):
             preempt._signum = signal.SIGTERM
         return out
 
-    setattr(loop, attr, wrapped)
+    setattr(holder, attr, wrapped)
     with pytest.raises(SystemExit) as e:
         loop.run()
     assert e.value.code == 128 + signal.SIGTERM
@@ -111,17 +122,18 @@ def _run_preempted_then_resumed(tmp_path, sub, kind, target_calls):
 
     cfg.train_cfg.resume = state_path
     runner2 = Runner(cfg, mode="train")
-    runner2.launch_train()
-    return _final_params(runner2), meta
+    loop2 = TrainLoop(cfg, runner2)
+    loop2.run()
+    return _final_params(runner2), meta, loop2.best_mae
 
 
 def test_mid_train_phase_resume_is_bitwise(tmp_path):
     """Preempt 2 batches into epoch 2's train phase (after its discriminator
     inter-training already ran): the resume must skip BOTH the dis phase and
     the two applied batches, ending bitwise equal to the uninterrupted run."""
-    ref = _run_uninterrupted(tmp_path, "a")
+    ref, _ = _run_uninterrupted(tmp_path, "a")
     # per epoch: 4 train batches; epochs 0,1 = 8 calls; +2 -> epoch 2 batch 2
-    got, meta = _run_preempted_then_resumed(tmp_path, "b", "train", 10)
+    got, meta, _ = _run_preempted_then_resumed(tmp_path, "b", "train", 10)
     assert meta["phase"] == "train" and meta["batch_done"] == 2
     assert meta["epoch"] == 2
     for k in ref:
@@ -154,11 +166,31 @@ def test_mid_dis_phase_resume_is_bitwise(tmp_path):
     """Preempt 2 batches into epoch 2's discriminator pass: the resume must
     finish the remaining dis batches, run epoch 2's train phase in full, and
     end bitwise equal to the uninterrupted run."""
-    ref = _run_uninterrupted(tmp_path, "a")
+    ref, _ = _run_uninterrupted(tmp_path, "a")
     # dis passes: epoch 0 = 4 calls; +2 -> epoch 2 dis batch 2
-    got, meta = _run_preempted_then_resumed(tmp_path, "b", "dis", 6)
+    got, meta, _ = _run_preempted_then_resumed(tmp_path, "b", "dis", 6)
     assert meta["phase"] == "dis" and meta["batch_done"] == 2
     assert meta["epoch"] == 2
+    for k in ref:
+        for i, (a, b) in enumerate(zip(got[k], ref[k])):
+            np.testing.assert_array_equal(a, b, err_msg=f"{k}[{i}]")
+
+
+def test_boundary_preempt_reruns_pending_validation(tmp_path):
+    """Preempt at the epoch-2 boundary AFTER the checkpoint save but BEFORE
+    the due validation ran: the checkpoint records val_pending, the resumed
+    run re-runs that validation first, and best-MAE tracking ends equal to
+    the uninterrupted run (params bitwise too)."""
+    ref, ref_best = _run_uninterrupted(
+        tmp_path, "a", enable_val=True, save_interval=2
+    )
+    got, meta, got_best = _run_preempted_then_resumed(
+        tmp_path, "b", "boundary_save", 1, enable_val=True, save_interval=2
+    )
+    assert meta["epoch"] == 2 and meta.get("val_pending") is True
+    assert not meta.get("phase")
+    assert np.isfinite(ref_best)
+    assert got_best == ref_best
     for k in ref:
         for i, (a, b) in enumerate(zip(got[k], ref[k])):
             np.testing.assert_array_equal(a, b, err_msg=f"{k}[{i}]")

@@ -227,10 +227,13 @@ class Runner:
 
     # -- loops ---------------------------------------------------------------------
     def launch_val_look_twice(self) -> Dict[str, float]:
+        from . import preempt
         from .eval_loop import LookTwiceEvaluator
 
         try:
             return LookTwiceEvaluator(self.cfg, self).run()
+        except preempt.Preempted:
+            raise  # orderly preemption, not a failure — the trainer handles it
         except Exception as e:
             self.logger.error(f"Validation failed: {e}")
             raise

@@ -167,6 +167,7 @@ class TrainLoop:
                 int(meta.get("dis_pass", 0)),
                 int(meta.get("batch_done", 0)),
             )
+        self._resume_val_pending = bool(meta.get("val_pending", False))
         if self.lora_enabled and (
             os.path.exists(path + "_lora.npz") or os.path.isdir(path + "_lora.orbax")
         ):
@@ -186,6 +187,10 @@ class TrainLoop:
         from .checkpoint import save_train_state
 
         meta = {"epoch": epoch, "finetune": self.finetune, "best_mae": self.best_mae}
+        if getattr(self, "_val_pending", False):
+            # this boundary's validation has not run yet — any resume from
+            # this checkpoint must re-run it (see run())
+            meta["val_pending"] = True
         if phase_meta:
             meta.update(phase_meta)
         save_train_state(path, self.state, meta, backend=self.ckpt_backend)
@@ -219,6 +224,15 @@ class TrainLoop:
         return (
             features,
             jax.device_put(plabels, data_sharding(mesh, plabels.ndim, batch_size=bs)),
+        )
+
+    def _device_pixels(self, batch):
+        """Normalised image pixels, data-sharded over the mesh (LoRA paths
+        feed the live backbone from pixels instead of cached features)."""
+        pixels = np.asarray(batch["pixels"], dtype=np.float32)
+        mesh = self.runner.mesh
+        return jax.device_put(
+            pixels, data_sharding(mesh, pixels.ndim, batch_size=pixels.shape[0])
         )
 
     def _sync_runner_params(self) -> None:
@@ -258,7 +272,7 @@ class TrainLoop:
             return
         path = f"{self.runner.ckp_dir}/state_preempt"
         phase = getattr(self, "_phase", None)
-        phase_meta = None
+        phase_meta = {}
         if phase is not None:
             phase_meta = {
                 "phase": phase[0], "dis_pass": phase[1], "batch_done": phase[2],
@@ -278,7 +292,22 @@ class TrainLoop:
         epoch = self.start_epoch
         self._cur_epoch = epoch
         self._phase = None
+        self._val_pending = False
         self._install_preemption_handler()
+        if getattr(self, "_resume_val_pending", False):
+            # the preempted run was interrupted at (or during) a boundary
+            # validation — run it now so best-MAE tracking matches the
+            # uninterrupted trajectory
+            self._resume_val_pending = False
+            self._val_pending = True
+            self._sync_runner_params()
+            try:
+                result = self.runner.launch_val_look_twice()
+            except preempt.Preempted as e:
+                self._maybe_preempt_exit(e.signum)
+                raise  # unreachable
+            self._update_best(result)
+            self._val_pending = False
         while epoch < self.max_epoch:
             self._cur_epoch = epoch
             self._maybe_preempt_exit()
@@ -301,6 +330,15 @@ class TrainLoop:
             epoch += 1
             self._cur_epoch = epoch  # post-epoch saves/val belong to the boundary
 
+            # flag the boundary validation BEFORE any boundary save: a
+            # state_epochN or preemption checkpoint written before the val
+            # ran records val_pending, so ANY resume from it re-runs the
+            # validation and best-MAE tracking matches the uninterrupted run
+            self._val_pending = (
+                self.enable_val
+                and epoch >= self.val_start
+                and epoch % self.val_interval == 0
+            )
             if epoch >= self.save_start and epoch % self.save_interval == 0:
                 self._sync_runner_params()
                 self.runner.save_checkpoint(epoch)
@@ -312,11 +350,7 @@ class TrainLoop:
                     )
             self._maybe_preempt_exit()
 
-            if (
-                self.enable_val
-                and epoch >= self.val_start
-                and epoch % self.val_interval == 0
-            ):
+            if self._val_pending:
                 self._sync_runner_params()
                 try:
                     result = self.runner.launch_val_look_twice()
@@ -327,6 +361,7 @@ class TrainLoop:
                     self._maybe_preempt_exit(e.signum)
                     raise  # unreachable (exit raises SystemExit)
                 self._update_best(result)
+                self._val_pending = False
 
         self._sync_runner_params()
         if self.best_result is not None:
@@ -377,17 +412,12 @@ class TrainLoop:
                 batch, need_features=not self.lora_enabled
             )
             if self.lora_enabled:
-                pixels = np.asarray(batch["pixels"], dtype=np.float32)
-                mesh = self.runner.mesh
-                pixels = jax.device_put(
-                    pixels,
-                    data_sharding(mesh, pixels.ndim, batch_size=pixels.shape[0]),
-                )
                 (
                     self.state, self.lora_params, self.lora_opt_state, aux,
                 ) = self._lora_step(
                     self.state, self.lora_params, self.lora_opt_state,
-                    self.runner.feature_extractor.params, pixels, plabels,
+                    self.runner.feature_extractor.params,
+                    self._device_pixels(batch), plabels,
                     jnp.float32(epoch), jnp.float32(adv),
                 )
             else:
@@ -444,13 +474,9 @@ class TrainLoop:
                 )
                 if self.lora_enabled:
                     # current-adapter features (no grad) — see __init__
-                    pixels = np.asarray(batch["pixels"], dtype=np.float32)
-                    mesh = self.runner.mesh
-                    pixels = jax.device_put(
-                        pixels,
-                        data_sharding(mesh, pixels.ndim, batch_size=pixels.shape[0]),
+                    features = self._lora_extract(
+                        self.lora_params, self._device_pixels(batch)
                     )
-                    features = self._lora_extract(self.lora_params, pixels)
                 self.state, aux = self._dis_step(self.state, features, plabels)
                 losses.append(float(aux["dis_train_loss"]))
                 n += 1
