@@ -210,3 +210,27 @@ def test_bilateral_solver_numeric_parity_vs_reference():
         img, target, sigma_spatial=8, sigma_luma=4, sigma_chroma=4, get_all_cc=True
     )
     np.testing.assert_array_equal(our_all, ref_all)
+
+
+def test_logger_singleton_attaches_later_log_file(tmp_path):
+    """An early bare get_logger() (FeatureExtractor, datasets) must not
+    block the Runner's later file-logging request — the singleton attaches
+    a newly requested log_file instead of silently dropping it."""
+    from ucod_dpl_tpu.utils.logger import Logger
+
+    name = "ucod_test_upgrade"
+    first = Logger(name)  # console-only, like an early component
+    log_path = tmp_path / "run.log"
+    second = Logger(name, log_file=str(log_path))
+    assert first is second
+    second.log("hello file")
+    import logging
+
+    for h in logging.getLogger(name).handlers:
+        h.flush()
+    assert log_path.exists() and "hello file" in log_path.read_text()
+    # same path requested again: no duplicate handler
+    Logger(name, log_file=str(log_path)).log("once")
+    for h in logging.getLogger(name).handlers:
+        h.flush()
+    assert log_path.read_text().count("once") == 1

@@ -104,3 +104,52 @@ def test_merge_from_list_rejects_unknown_keys():
     # allow_new restores create-on-miss for programmatic construction
     cfg.merge_from_list(["dataset_cfg.new_key", "7"], allow_new=True)
     assert cfg.dataset_cfg.new_key == 7
+
+
+def test_dump_yaml_with_list_of_dicts(tmp_path):
+    """_wrap turns dicts inside lists into CfgNodes; to_dict must unwrap
+    them again or yaml's safe representer rejects the dump."""
+    cfg = CfgNode({"pipeline": [{"type": "flip"}, {"type": "crop", "size": 4}]})
+    assert str(cfg)  # __str__ goes through the same representer
+    out = tmp_path / "cfg.yaml"
+    cfg.dump_yaml(str(out))
+    assert load_config(str(out)).to_dict() == cfg.to_dict()
+
+
+def test_freeze_blocks_dict_mutators_and_nested_lists():
+    """update/pop/setdefault/del/clear must honour freeze() like item
+    assignment, and freeze must reach CfgNodes inside lists."""
+    import pytest
+
+    cfg = CfgNode({"a": 1, "pipeline": [{"type": "flip"}]})
+    cfg.freeze()
+    with pytest.raises(KeyError):
+        cfg.update({"a": 2})
+    with pytest.raises(KeyError):
+        cfg.pop("a")
+    with pytest.raises(KeyError):
+        cfg.setdefault("new", 3)
+    with pytest.raises(KeyError):
+        del cfg["a"]
+    with pytest.raises(KeyError):
+        cfg.clear()
+    with pytest.raises((KeyError, AttributeError)):
+        cfg.pipeline[0].type = "rotate"
+    cfg.defrost()
+    cfg.update({"a": 2})
+    cfg.pipeline[0].type = "rotate"
+    assert cfg.a == 2 and cfg.pipeline[0].type == "rotate"
+    # setdefault on an EXISTING key never mutates -> allowed while frozen
+    cfg.freeze()
+    assert cfg.setdefault("a", 99) == 2
+
+
+def test_coerce_rejects_bool_for_int():
+    """bool is an int subclass: 'max_epoch True' must raise, not silently
+    train range(True) == 1 epoch."""
+    import pytest
+
+    cfg = CfgNode({"max_epoch": 5})
+    with pytest.raises(ValueError, match="boolean override"):
+        cfg.merge_from_list(["max_epoch", "True"])
+    assert cfg.max_epoch == 5

@@ -112,3 +112,68 @@ def test_strict_weight_loading(tmp_path):
         FeatureExtractor(cfg)
     cfg.strict_weights = False
     FeatureExtractor(cfg)  # non-strict: random init with a warning
+
+
+def test_predict_single_inputs_wrapped(predictor, tmp_path):
+    """A bare path or single (H, W, 3) image is ONE input — iterating a
+    string's characters or an image's rows would silently return garbage."""
+    rng = np.random.default_rng(3)
+    path = tmp_path / "one.jpg"
+    Image.fromarray((rng.random((60, 70, 3)) * 255).astype(np.uint8)).save(path)
+    assert len(predictor.predict(str(path))) == 1
+    img = (rng.random((60, 70, 3)) * 255).astype(np.uint8)
+    assert len(predictor.predict(img)) == 1
+    stack = (rng.random((3, 60, 70, 3)) * 255).astype(np.uint8)
+    assert len(predictor.predict(stack)) == 3
+
+
+def test_predict_rejects_malformed_arrays(predictor):
+    rng = np.random.default_rng(4)
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        predictor.predict(rng.random((60, 70)).astype(np.float32))
+    # a pre-normalised float array must match the model's image_size —
+    # silently broadcasting a wrong shape into the batch is the failure
+    # mode this guards
+    with pytest.raises(ValueError, match="expected a path"):
+        predictor.predict([rng.random((60, 70, 3)).astype(np.float32)])
+
+
+def test_predict_loads_lazily_per_chunk(predictor, tmp_path, monkeypatch):
+    """Inputs must be decoded per device batch, not all upfront (a 10k-image
+    call would otherwise hold every original + array in memory at once)."""
+    import ucod_dpl_tpu.serving as S
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(10):  # max_batch=4 -> 3 chunks
+        p = tmp_path / f"lazy{i}.jpg"
+        Image.fromarray((rng.random((40, 50, 3)) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    high_water = {"live": 0, "max_live": 0}
+    orig_load = Predictor._load
+
+    class TrackedImage:
+        pass
+
+    def tracked_load(self, item):
+        arr, img = orig_load(self, item)
+        high_water["live"] += 1
+        high_water["max_live"] = max(high_water["max_live"], high_water["live"])
+        return arr, img
+
+    monkeypatch.setattr(Predictor, "_load", tracked_load)
+    calls_before_first_batch = []
+    orig_bucket = Predictor._bucket
+
+    def tracked_bucket(self, n):
+        # _bucket runs once per chunk AFTER that chunk's loads: record how
+        # many loads have happened by the first chunk's device call
+        calls_before_first_batch.append(high_water["live"])
+        high_water["live"] = 0
+        return orig_bucket(self, n)
+
+    monkeypatch.setattr(Predictor, "_bucket", tracked_bucket)
+    masks = predictor.predict(paths)
+    assert len(masks) == 10
+    # first chunk dispatched after loading only its own 4 inputs
+    assert calls_before_first_batch[0] == 4, calls_before_first_batch

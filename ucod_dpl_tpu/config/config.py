@@ -78,8 +78,41 @@ class CfgNode(dict):
     def _set_frozen(self, flag: bool) -> None:
         object.__setattr__(self, CfgNode._FROZEN, flag)
         for v in self.values():
-            if isinstance(v, CfgNode):
-                v._set_frozen(flag)
+            _propagate_frozen(v, flag)
+
+    # dict mutators must honour freeze() like __setitem__/__setattr__ do —
+    # otherwise cfg.update(...)/pop(...) silently bypass immutability and
+    # the dumped/logged config no longer matches what ran
+    def _check_mutable(self) -> None:
+        if self.is_frozen():
+            raise KeyError("Attempted to mutate a frozen CfgNode; call defrost() first")
+
+    def update(self, *args, **kwargs):  # type: ignore[override]
+        self._check_mutable()
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def setdefault(self, key, default=None):  # type: ignore[override]
+        if key not in self:
+            self._check_mutable()
+            self[key] = default
+        return self[key]
+
+    def pop(self, *args):  # type: ignore[override]
+        self._check_mutable()
+        return super().pop(*args)
+
+    def popitem(self):  # type: ignore[override]
+        self._check_mutable()
+        return super().popitem()
+
+    def clear(self):  # type: ignore[override]
+        self._check_mutable()
+        super().clear()
+
+    def __delitem__(self, key):
+        self._check_mutable()
+        super().__delitem__(key)
 
     # -- merge ----------------------------------------------------------------
     def merge(self, other: Dict[str, Any]) -> "CfgNode":
@@ -135,10 +168,7 @@ class CfgNode(dict):
 
     # -- (de)serialisation -----------------------------------------------------
     def to_dict(self) -> Dict[str, Any]:
-        out: Dict[str, Any] = {}
-        for k, v in self.items():
-            out[k] = v.to_dict() if isinstance(v, CfgNode) else copy.deepcopy(v)
-        return out
+        return {k: _unwrap(v) for k, v in self.items()}
 
     def dump_yaml(self, path: str) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -160,12 +190,38 @@ def _wrap(value: Any) -> Any:
     return value
 
 
+def _unwrap(value: Any) -> Any:
+    """Inverse of _wrap for serialisation: CfgNodes (including those nested
+    inside lists/tuples, which _wrap creates) become plain dicts — yaml's
+    safe representer rejects CfgNode, so a list-of-dicts config would
+    otherwise crash dump_yaml()/str()."""
+    if isinstance(value, CfgNode):
+        return {k: _unwrap(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_unwrap(v) for v in value]
+    return copy.deepcopy(value)
+
+
+def _propagate_frozen(value: Any, flag: bool) -> None:
+    """freeze()/defrost() must reach CfgNodes nested inside lists/tuples
+    (which _wrap creates) — not only direct dict children."""
+    if isinstance(value, CfgNode):
+        value._set_frozen(flag)
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            _propagate_frozen(v, flag)
+
+
 def _coerce(raw: str, old: Any) -> Any:
     """Parse a string override, preferring the type of the existing value."""
     try:
         parsed = ast.literal_eval(raw)
     except (ValueError, SyntaxError):
         parsed = raw
+    if isinstance(parsed, bool) and isinstance(old, int) and not isinstance(old, bool):
+        # bool IS an int subclass, so the type-match below would silently
+        # turn e.g. max_epoch into True (== 1) on a typo'd override
+        raise ValueError(f"Cannot coerce boolean override {raw!r} to int")
     if old is None or isinstance(parsed, type(old)):
         return parsed
     # numeric cross-coercion (int config value overridden with "1e-3" etc.)

@@ -16,24 +16,46 @@ import jax
 import numpy as np
 
 
+_dist_initialized = False
+
+
 def maybe_initialize_distributed() -> None:
     """Initialize jax.distributed when launched multi-process.
 
     Triggered by UCOD_DIST=1 or explicit coordinator env vars; a no-op in
     single-process runs (the common dev path).
+
+    ORDER MATTERS: the trigger check must not touch jax — even
+    ``jax.process_count()`` initialises the XLA backend, after which
+    ``jax.distributed.initialize`` refuses to run ("must be called before
+    any JAX calls").  So the env-var gate comes first and a module flag
+    (plus the coordinator-client probe for callers that initialised jax
+    themselves) stands in for the old backend-touching "already
+    initialised" check.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
-    if os.environ.get("UCOD_DIST") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        kwargs = {}
-        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-        if addr:
-            kwargs = dict(
-                coordinator_address=addr,
-                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-            )
-        jax.distributed.initialize(**kwargs)
+    global _dist_initialized
+    if _dist_initialized:
+        return
+    if not (os.environ.get("UCOD_DIST") or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        return  # single-process: never touches the backend
+    try:
+        from jax._src import distributed as _jax_dist
+
+        if getattr(_jax_dist.global_state, "client", None) is not None:
+            _dist_initialized = True  # caller ran jax.distributed.initialize
+            return
+    except Exception:
+        pass  # private-API drift: fall through and let initialize() decide
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    jax.distributed.initialize(**kwargs)
+    _dist_initialized = True
 
 
 def process_shard() -> tuple:
@@ -49,16 +71,18 @@ def gather_object_lists(local: List[Any]) -> List[Any]:
     """Gather per-process python lists of numpy arrays to every process
     (counterpart of accelerator.gather_for_metrics for streaming metrics).
 
-    Single-process: identity.  Multi-process: allgather over a host
-    roundtrip via ``multihost_utils`` on fixed-size payloads.
+    Single-process: identity.  Multi-process: delegates to
+    :func:`gather_ragged` — the collective SEQUENCE must be identical on
+    every rank, and a rank with an EMPTY local list (dataset shard smaller
+    than the process count) cannot run a naive np.stack+allgather
+    (np.stack([]) raises, deadlocking the other ranks mid-collective); the
+    ragged protocol exchanges counts/shapes first and tolerates empties on
+    any subset of ranks.  Payloads travel as float64 (the metric-gathering
+    contract this function exists for).
     """
     if jax.process_count() == 1:
         return local
-    from jax.experimental import multihost_utils
-
-    stacked = np.stack([np.asarray(x) for x in local])
-    gathered = multihost_utils.process_allgather(stacked)
-    return list(gathered.reshape((-1,) + stacked.shape[1:]))
+    return gather_ragged(local)
 
 
 def gather_ragged(local: List[Any]) -> List[Any]:

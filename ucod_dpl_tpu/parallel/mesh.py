@@ -45,8 +45,11 @@ def data_sharding(mesh: Mesh, ndim: int, batch_size: Optional[int] = None) -> Na
 
     When ``batch_size`` is given and does not divide the data-axis size, the
     array is replicated instead (keeps small/ragged batches working on wide
-    meshes — e.g. bs=1 eval on an 8-device mesh)."""
-    if batch_size is not None and batch_size % mesh.shape.get("data", 1) != 0:
+    meshes — e.g. bs=1 eval on an 8-device mesh).  Scalars (ndim == 0 —
+    step counters, loss weights) have no batch dim and are replicated."""
+    if ndim == 0 or (
+        batch_size is not None and batch_size % mesh.shape.get("data", 1) != 0
+    ):
         return NamedSharding(mesh, P())
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 

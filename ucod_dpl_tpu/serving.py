@@ -146,42 +146,67 @@ class Predictor:
         ``soft=True``: return sigmoid probabilities instead of {0,1} masks
         (mutually exclusive with look_twice, which is defined on binaries).
         """
+        import os as _os
+
         if look_twice and soft:
             raise ValueError("look_twice refines binary masks; soft=True is incompatible")
-        loaded = [self._load(x) for x in inputs]
-        arrays = [a for a, _ in loaded]
-        originals = [im for _, im in loaded]
-        if look_twice and any(im is None for im in originals):
-            raise ValueError(
-                "look_twice needs the original image: pass paths or uint8 RGB arrays"
-            )
+        # a bare path or a single (H, W, 3) image is one input, not a
+        # sequence — iterating a string's characters or an image's rows
+        # would silently produce garbage masks
+        if isinstance(inputs, (str, _os.PathLike)):
+            inputs = [inputs]
+        elif isinstance(inputs, np.ndarray):
+            if inputs.ndim == 3:
+                inputs = [inputs]
+            elif inputs.ndim != 4:
+                raise ValueError(
+                    f"array input must be (H, W, 3) or (N, H, W, 3); got {inputs.shape}"
+                )
+        inputs = list(inputs)
         program = self._pixels_to_probs if soft else self._pixels_to_mask
-        masks: List[np.ndarray] = []
-        i = 0
-        while i < len(arrays):
-            take = min(self.max_batch, len(arrays) - i)
-            nb = self._bucket(take)
-            batch = np.zeros((nb, *self.image_size, 3), np.float32)
-            for j in range(take):
-                batch[j] = arrays[i + j]
-            out = np.asarray(program(self.fe.params, self.decoder_params, batch))[:take]
-            masks.extend(out.astype(np.float32))
-            i += take
-
         if look_twice:
             from ucod_dpl_tpu.engine.eval_loop import find_refine_bboxes, refine_with_crops
 
             def crop_fn(batch):
                 return self._crop_pass(self.fe.params, self.decoder_params, batch)
 
-            for idx, (mask, img) in enumerate(zip(masks, originals)):
-                bboxes = find_refine_bboxes(
-                    mask, self.image_size, self.look_twice_th, self.expand_type
+        masks: List[np.ndarray] = []
+        i = 0
+        while i < len(inputs):
+            # decode/transform PER CHUNK: eager whole-list loading holds
+            # every full-res original + normalised array alive at once
+            # (~3MB+ per image — a 10k-image call would OOM the host)
+            take = min(self.max_batch, len(inputs) - i)
+            loaded = [self._load(x) for x in inputs[i : i + take]]
+            arrays = [a for a, _ in loaded]
+            originals = [im for _, im in loaded] if look_twice else None
+            if look_twice and any(im is None for im in originals):
+                raise ValueError(
+                    "look_twice needs the original image: pass paths or uint8 RGB arrays"
                 )
-                if bboxes is not None:
-                    masks[idx] = refine_with_crops(
-                        img, bboxes, mask, self.image_size, crop_fn
+            nb = self._bucket(take)
+            batch = np.zeros((nb, *self.image_size, 3), np.float32)
+            for j, a in enumerate(arrays):
+                if np.shape(a) != (*self.image_size, 3):
+                    raise ValueError(
+                        f"input {i + j}: expected a path, a uint8 RGB image, or a "
+                        f"pre-normalised {(*self.image_size, 3)} float array; got "
+                        f"shape {np.shape(a)}"
                     )
+                batch[j] = a
+            out = np.asarray(program(self.fe.params, self.decoder_params, batch))[:take]
+            chunk = [m.astype(np.float32) for m in out]
+            if look_twice:
+                for k, (mask, img) in enumerate(zip(chunk, originals)):
+                    bboxes = find_refine_bboxes(
+                        mask, self.image_size, self.look_twice_th, self.expand_type
+                    )
+                    if bboxes is not None:
+                        chunk[k] = refine_with_crops(
+                            img, bboxes, mask, self.image_size, crop_fn
+                        )
+            masks.extend(chunk)
+            i += take
 
         if output_size is not None:
             if soft:

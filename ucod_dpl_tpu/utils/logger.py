@@ -51,10 +51,20 @@ class Logger:
         backup_count: int = 5,
     ):
         if self._initialized:
+            # the singleton may have been created by an early bare
+            # get_logger() (FeatureExtractor, datasets) before the Runner
+            # asks for file logging — honour a NEWLY requested log_file and
+            # ranks instead of silently dropping them (run.log would stay
+            # empty with no warning otherwise)
+            if log_file:
+                self._attach_file(log_file, max_bytes, backup_count)
+            if tuple(ranks) != (0,):
+                self.ranks = list(ranks)
             return
         self._initialized = True
         self.name = name
         self.ranks = list(ranks)
+        self._file_paths: set = set()
         self._logger = logging.getLogger(name)
         self._logger.setLevel(getattr(logging, level.upper(), logging.INFO))
         self._logger.propagate = False
@@ -63,13 +73,22 @@ class Logger:
             console = logging.StreamHandler()
             console.setFormatter(logging.Formatter(_FMT))
             self._logger.addHandler(console)
-            if log_file:
-                os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
-                fileh = logging.handlers.RotatingFileHandler(
-                    log_file, maxBytes=max_bytes, backupCount=backup_count
-                )
-                fileh.setFormatter(logging.Formatter(_FMT))
-                self._logger.addHandler(fileh)
+        if log_file:
+            self._attach_file(log_file, max_bytes, backup_count)
+
+    def _attach_file(self, log_file: str, max_bytes: int, backup_count: int) -> None:
+        path = os.path.abspath(log_file)
+        if path in getattr(self, "_file_paths", set()):
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fileh = logging.handlers.RotatingFileHandler(
+            path, maxBytes=max_bytes, backupCount=backup_count
+        )
+        fileh.setFormatter(logging.Formatter(_FMT))
+        self._logger.addHandler(fileh)
+        if not hasattr(self, "_file_paths"):
+            self._file_paths = set()
+        self._file_paths.add(path)
 
     def _should_emit(self) -> bool:
         return _process_index() in self.ranks
