@@ -90,3 +90,74 @@ def test_orbax_backend_roundtrip(tmp_path):
     assert meta == {"epoch": 3, "finetune": True}
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_npz_save_is_atomic_and_meta_embedded(tmp_path):
+    """The preemption path overwrites a fixed path on every signal; a crash
+    mid-save must never destroy the previous good checkpoint, and the
+    metadata must commit in the SAME os.replace as the state (a stale
+    sidecar .json would replay already-applied batches on resume)."""
+    import json
+    import os
+
+    cfg = _train_cfg()
+    optimizer = make_optimizer(2e-4, 0.95, 25)
+    dis_optimizer = make_optimizer(1e-3, 0.95, 25)
+    state = _init_state(cfg, optimizer, dis_optimizer, seed=1)
+    path = str(tmp_path / "state")
+    save_train_state(path, state, {"epoch": 3, "batch_done": 2})
+    # no stray temp files left behind
+    assert [f for f in os.listdir(tmp_path) if ".tmp." in f] == []
+    # desynchronise the sidecar (simulates a crash between an older save's
+    # replace and its json write): the embedded copy must win
+    with open(path + ".json", "w") as f:
+        json.dump({"epoch": 999}, f)
+    _, meta = load_train_state(path, state)
+    assert meta["epoch"] == 3 and meta["batch_done"] == 2
+    # and with the sidecar deleted entirely the load still works
+    os.unlink(path + ".json")
+    _, meta = load_train_state(path, state)
+    assert meta["epoch"] == 3
+
+
+def test_refiner_loader_rejects_partial_checkpoint(tmp_path):
+    """A truncated/wrong safetensors passed via --refiner_path must fail at
+    load time with a clear message, not as an opaque KeyError inside the
+    jitted refiner trace."""
+    import pytest
+    from safetensors.numpy import save_file
+
+    from ucod_dpl_tpu.models.udlr import load_refiner_checkpoint
+
+    p = str(tmp_path / "bad.safetensors")
+    save_file({"ASR.qkv.weight": np.zeros((3, 3), np.float32)}, p)
+    with pytest.raises(ValueError, match="missing"):
+        load_refiner_checkpoint(p)
+
+
+def test_metric_pool_backpressure_bounds_pending(tmp_path):
+    """With workers > 0 the pending-futures queue must stay bounded (each
+    queued item pins two full-res float64 images; an unbounded queue OOMs
+    long sweeps)."""
+    from ucod_dpl_tpu.utils.metrics import CODStatistics
+
+    stats = CODStatistics(workers=1)
+    try:
+        gt = (np.random.default_rng(0).random((32, 32)) > 0.5).astype(float)
+        for _ in range(80):
+            stats.step(gt[None], gt[None])
+            assert len(stats._pending) <= 4 * 1 + 32 + 1
+        res = stats.get_result()
+        assert res["MAE"] == 0.0 and len(stats._mae) == 80
+    finally:
+        stats.close()
+
+
+def test_stats_close_stops_pool():
+    from ucod_dpl_tpu.utils.metrics import CODStatistics
+
+    stats = CODStatistics(workers=1)
+    gt = np.zeros((16, 16))
+    stats.step(gt[None], gt[None])
+    stats.close()
+    assert stats._pool is None and stats._pending == []

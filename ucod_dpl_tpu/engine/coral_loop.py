@@ -155,20 +155,28 @@ class LocalRefineEvaluator:
         runner = self.runner
         n_total = len(runner.val_dataloader.dataset)
         workers = self.cfg.val_cfg.get("metric_workers", -1)
-        if workers < 0:  # auto: pool pays off only on multi-minute sweeps
-            workers = (os.cpu_count() or 2) // 2 if n_total >= 64 else 0
+        if workers < 0:
+            workers = CODStatistics.auto_workers(n_total)
         stats = CODStatistics(workers=workers)
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
         runner.logger.log(f"start validate on {dataset_name} (UDLR)")
 
-        from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
         from ucod_dpl_tpu.utils.progress import ProgressReporter
 
         progress = ProgressReporter(runner.logger, n_total, f"eval {dataset_name}")
 
-        from . import preempt
-
         loader_bs = runner.val_dataloader.batch_size
+        try:
+            return self._sweep(stats, progress, loader_bs, dataset_name)
+        except BaseException:
+            stats.close()  # error/preemption path: stop the scorer pool
+            raise
+
+    def _sweep(self, stats, progress, loader_bs, dataset_name) -> Dict[str, float]:
+        runner = self.runner
+        from . import preempt
+        from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
+
         for batch in runner.val_dataloader:
             preempt.check()  # see eval_loop.py — no-op outside trainers
             labels = batch["label"]

@@ -269,8 +269,8 @@ class LookTwiceEvaluator:
 
         n_total = len(self.runner.val_dataloader.dataset)
         workers = self.cfg.val_cfg.get("metric_workers", -1)
-        if workers < 0:  # auto: pool pays off only on multi-minute sweeps
-            workers = (os.cpu_count() or 2) // 2 if n_total >= 64 else 0
+        if workers < 0:
+            workers = CODStatistics.auto_workers(n_total)
         stats = CODStatistics(workers=workers)
         logger = self.runner.logger
         dataset_name = self.cfg.dataset_cfg.valset_cfg.DATASET
@@ -350,23 +350,35 @@ class LookTwiceEvaluator:
 
         from . import preempt
 
-        pending = None
-        for batch in self.runner.val_dataloader:
-            # cooperative preemption poll: when the stage-1 trainer runs this
-            # validation, a SIGTERM mid-val must not wait out the whole sweep
-            # (the trainer catches Preempted and checkpoints) — a no-op in
-            # standalone eval CLIs, which never install the handler
-            preempt.check()
-            dev = dispatch(batch)
+        try:
+            pending = None
+            for batch in self.runner.val_dataloader:
+                # cooperative preemption poll: when the stage-1 trainer runs
+                # this validation, a SIGTERM mid-val must not wait out the
+                # whole sweep (the trainer catches Preempted and
+                # checkpoints) — a no-op in standalone eval CLIs, which
+                # never install the handler
+                preempt.check()
+                dev = dispatch(batch)
+                if pending is not None:
+                    process(pending)
+                pending = (dev, batch)
             if pending is not None:
                 process(pending)
-            pending = (dev, batch)
-        if pending is not None:
-            process(pending)
-        progress.finish()
+            progress.finish()
 
-        for fut in io_futures:
-            fut.result()  # surface IO errors
+            for fut in io_futures:
+                fut.result()  # surface IO errors
+        except BaseException:
+            # error/preemption path: abandon queued mask writes and stop the
+            # metric worker pool — leaked spawn workers would otherwise keep
+            # competing with the preemption checkpoint for CPU during the
+            # platform's kill grace period
+            for fut in io_futures:
+                fut.cancel()
+            io_pool.shutdown(wait=False, cancel_futures=True)
+            stats.close()
+            raise
         io_pool.shutdown()
 
         stats.sync_across_processes()

@@ -172,10 +172,21 @@ class TrainLoop:
             os.path.exists(path + "_lora.npz") or os.path.isdir(path + "_lora.orbax")
         ):
             # adapters + their optimizer moments resume alongside TrainState
-            lora_tree, _ = load_train_state(
+            lora_tree, lora_meta = load_train_state(
                 path + "_lora",
                 {"lora": self.lora_params, "opt": self.lora_opt_state},
             )
+            # both files carry the same metadata dict at save time; a crash
+            # between the two os.replace commits leaves adapters one save
+            # older than the decoder state — resuming that pair silently
+            # trains mismatched halves
+            if lora_meta != meta:
+                raise RuntimeError(
+                    f"LoRA state {path}_lora is from a different save than "
+                    f"{path} (meta {lora_meta} vs {meta}) — a crash likely "
+                    "interrupted the checkpoint pair; resume from the "
+                    "previous state_epochN checkpoint instead"
+                )
             self.lora_params = lora_tree["lora"]
             self.lora_opt_state = lora_tree["opt"]
         self.runner.logger.log(

@@ -147,6 +147,16 @@ def make_train_step(cfg, optimizer: optax.GradientTransformation):
     ema_weight = cfg.model_cfg.ema_weight
     use_dis_merge = cfg.train_cfg.get("merge_method", "dis") == "dis"
     denom = cfg.train_cfg.max_epoch + cfg.train_cfg.get("start_finetune", -5)
+    if denom == 0:
+        # the APM merge weight divides by this; denom == 0 makes epoch/denom
+        # = 0/0 = NaN at epoch 0 and silently NaN-poisons every parameter
+        # from the first step — fail fast instead (negative denom is a
+        # clipped ramp and stays finite)
+        raise ValueError(
+            f"train_cfg.max_epoch ({cfg.train_cfg.max_epoch}) + start_finetune "
+            f"({cfg.train_cfg.get('start_finetune', -5)}) must be nonzero (the "
+            "APM merge ramp divides by it); adjust max_epoch or start_finetune"
+        )
 
     def step(
         state: TrainState,
@@ -211,6 +221,16 @@ def make_lora_train_step(
     ema_weight = cfg.model_cfg.ema_weight
     use_dis_merge = cfg.train_cfg.get("merge_method", "dis") == "dis"
     denom = cfg.train_cfg.max_epoch + cfg.train_cfg.get("start_finetune", -5)
+    if denom == 0:
+        # the APM merge weight divides by this; denom == 0 makes epoch/denom
+        # = 0/0 = NaN at epoch 0 and silently NaN-poisons every parameter
+        # from the first step — fail fast instead (negative denom is a
+        # clipped ramp and stays finite)
+        raise ValueError(
+            f"train_cfg.max_epoch ({cfg.train_cfg.max_epoch}) + start_finetune "
+            f"({cfg.train_cfg.get('start_finetune', -5)}) must be nonzero (the "
+            "APM merge ramp divides by it); adjust max_epoch or start_finetune"
+        )
     lc = cfg.model_cfg.lora
     rank = int(lc.get("rank", 2))
     alpha = float(lc.get("alpha", 4.0))

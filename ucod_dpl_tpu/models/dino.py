@@ -249,10 +249,10 @@ def export_hf_state_dict(params: Dict[str, Any], cfg: DinoConfig) -> Dict[str, n
 
 def save_hf_checkpoint(path: str, params: Dict[str, Any], cfg: DinoConfig) -> None:
     """Write the params pytree as a HF-layout .safetensors file."""
-    from safetensors.numpy import save_file
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    save_file(export_hf_state_dict(params, cfg), path)
+    from ucod_dpl_tpu.models.safetensors_io import save_file_atomic
+
+    save_file_atomic(export_hf_state_dict(params, cfg), path)
 
 
 def load_hf_checkpoint(path: str, cfg: DinoConfig) -> Dict[str, Any]:

@@ -97,7 +97,6 @@ def save_lora_checkpoint(path: str, lora: List[Dict[str, Any]]) -> None:
     import os
 
     import numpy as np
-    from safetensors.numpy import save_file
 
     flat = {}
     for i, entry in enumerate(lora):
@@ -106,8 +105,9 @@ def save_lora_checkpoint(path: str, lora: List[Dict[str, Any]]) -> None:
                 flat[f"layers.{i}.{t}.{name}"] = np.asarray(
                     entry[t][name], dtype=np.float32
                 )
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    save_file(flat, path)
+    from ucod_dpl_tpu.models.safetensors_io import save_file_atomic
+
+    save_file_atomic(flat, path)
 
 
 def load_lora_checkpoint(path: str) -> List[Dict[str, Any]]:

@@ -67,12 +67,28 @@ def load_decoder_checkpoint(path: str) -> Tuple[RevDecoderParams, RevDecoderPara
     return _tower_from_flat(flat, "decoder"), _tower_from_flat(flat, "decoder_ema")
 
 
+def save_file_atomic(flat, path: str) -> None:
+    """safetensors save via temp + os.replace.
+
+    Auto-resume picks the NEWEST epoch*.safetensors by mtime with no
+    fallback, so a crash/OOM-kill mid-write must never leave a truncated
+    file at the final path — with the rename, the newest file is always a
+    complete one."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        save_file(flat, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def save_decoder_checkpoint(
     path: str, decoder: RevDecoderParams, decoder_ema: RevDecoderParams
 ) -> None:
     """Save params in the reference's safetensors layout."""
     flat = {**_tower_to_flat(decoder, "decoder"), **_tower_to_flat(decoder_ema, "decoder_ema")}
-    import os
-
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    save_file(flat, path)
+    save_file_atomic(flat, path)

@@ -373,10 +373,19 @@ def load_refiner_checkpoint(path: str, num_heads: int = 8) -> Dict[str, Any]:
     from safetensors.numpy import load_file
 
     flat = load_file(path)
+    missing = [name for name in _NAME_MAP if name not in flat]
+    if missing:
+        # a silent partial load would surface much later as an opaque
+        # KeyError inside the jitted refiner trace — fail at the source
+        # (truncated file, or a non-refiner checkpoint passed via
+        # --refiner_path)
+        raise ValueError(
+            f"Refiner checkpoint {path} is missing {len(missing)}/"
+            f"{len(_NAME_MAP)} tensors (e.g. {missing[:3]}); is this a "
+            "SparseRefiner checkpoint?"
+        )
     params: Dict[str, Any] = {"num_heads": np.int32(num_heads)}
     for name, spec in _NAME_MAP.items():
-        if name not in flat:
-            continue
         arr = flat[name]
         transform = spec[-1] if spec[-1] in ("T", "DW", "CONV1") else None
         path_keys = spec[:-1] if transform else spec
@@ -394,7 +403,6 @@ def save_refiner_checkpoint(path: str, params: Dict[str, Any]) -> None:
     """Save in the reference's safetensors name layout."""
     import os
 
-    from safetensors.numpy import save_file
 
     def get_nested(d, keys):
         for k in keys:
@@ -413,5 +421,6 @@ def save_refiner_checkpoint(path: str, params: Dict[str, Any]) -> None:
         elif transform == "CONV1":
             arr = arr.T[:, :, None, None]
         flat[name] = np.ascontiguousarray(arr)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    save_file(flat, path)
+    from ucod_dpl_tpu.models.safetensors_io import save_file_atomic
+
+    save_file_atomic(flat, path)

@@ -271,7 +271,9 @@ def calculate_cod_metrics(gt_paths, pred_paths, verbose: bool = True) -> Dict[st
 
     stats = CODStatistics()
     for gt_p, pred_p in zip(gt_paths, pred_paths):
-        base = str(pred_p)[:-4]
+        # splitext, not a fixed [:-4]: the pipeline's image listers accept
+        # 5-char extensions (.jpeg/.tiff/.webp) too
+        base = os.path.splitext(str(pred_p))[0]
         cand = base + ".png"
         if not os.path.exists(cand):
             cand = base + ".jpg"
@@ -367,6 +369,12 @@ class CODStatistics:
             )
         return self._pool
 
+    @staticmethod
+    def auto_workers(n_total: int) -> int:
+        """Shared metric_workers=-1 heuristic (eval + CORAL loops): the
+        process pool pays off only on multi-minute sweeps."""
+        return (os.cpu_count() or 2) // 2 if n_total >= 64 else 0
+
     def step(self, gt: np.ndarray, pred: np.ndarray) -> None:
         """Accumulate one batch. Accepts (B,H,W), (B,1,H,W), or (H,W)."""
         gt = np.asarray(gt, dtype=np.float64)
@@ -378,6 +386,15 @@ class CODStatistics:
             p = np.squeeze(p)
             if self.workers > 0:
                 self._pending.append(self._ensure_pool().submit(_score_one, (g, p)))
+                # backpressure: each queued item pins two full-res float64
+                # arrays (~10MB for a 700x900 pair); the device can outrun
+                # the scorers by orders of magnitude, so an unbounded queue
+                # would grow to GBs on a multi-thousand-image sweep.  Block
+                # on the OLDEST futures (order preserved) past a high-water
+                # mark sized to keep every worker busy.
+                high_water = 4 * self.workers + 32
+                while len(self._pending) > high_water:
+                    self._record(self._pending.pop(0).result())
             else:
                 self._record(_score_one((g, p)))
 
@@ -397,6 +414,18 @@ class CODStatistics:
         self._pending = []
         if self._pool is not None:
             self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def close(self) -> None:
+        """Abandon pending work and stop the worker pool — for error paths
+        (e.g. a preemption raised mid-sweep): without this, cpu_count//2
+        spawned scorer processes keep running and competing with the
+        checkpoint save for CPU during the platform's kill grace period."""
+        for fut in self._pending:
+            fut.cancel()
+        self._pending = []
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
             self._pool = None
 
     def sync_across_processes(self) -> None:
