@@ -22,15 +22,21 @@ def main():
     from ucod_dpl_tpu.engine.runner import LocalRefineRunner
     from ucod_dpl_tpu.utils import set_random_seed
 
+    from ucod_dpl_tpu.utils.profiling import maybe_profile
+
     set_random_seed(42)
     results = {}
-    for dataset in datasets:
-        cfg.dataset_cfg.valset_cfg.DATASET = dataset
-        print(f"running {dataset}")
-        runner = LocalRefineRunner(
-            cfg, mode="eval", load_from=args.load_from, refiner_path=args.refiner_path
-        )
-        results[dataset] = runner.launch_val()
+    fe = None  # shared across test sets (see scripts/eval.py)
+    with maybe_profile(args.profile, os.path.join(cfg.work_dir, "profile")):
+        for dataset in datasets:
+            cfg.dataset_cfg.valset_cfg.DATASET = dataset
+            print(f"running {dataset}")
+            runner = LocalRefineRunner(
+                cfg, mode="eval", load_from=args.load_from,
+                refiner_path=args.refiner_path, feature_extractor=fe,
+            )
+            fe = runner.feature_extractor
+            results[dataset] = runner.launch_val()
     for name, res in results.items():
         print(name, {k: round(v, 4) for k, v in res.items()})
 

@@ -21,12 +21,14 @@ def main():
 
     from ucod_dpl_tpu.engine.runner import LocalRefineRunner
     from ucod_dpl_tpu.utils import set_random_seed
+    from ucod_dpl_tpu.utils.profiling import maybe_profile
 
     set_random_seed(42)
-    runner = LocalRefineRunner(
-        cfg, mode="train", load_from=args.load_from, refiner_path=args.refiner_path
-    )
-    runner.launch_train()
+    with maybe_profile(args.profile, os.path.join(cfg.work_dir, "profile")):
+        runner = LocalRefineRunner(
+            cfg, mode="train", load_from=args.load_from, refiner_path=args.refiner_path
+        )
+        runner.launch_train()
 
 
 if __name__ == "__main__":

@@ -27,11 +27,17 @@ def main():
 
     set_random_seed(42)
     results = {}
+    fe = None  # built by the first Runner, shared by the rest: the backbone
+    # and its jitted programs are dataset-independent, and rebuilding them
+    # per test set multiplies the compile/trace startup cost by 4
     with maybe_profile(args.profile, os.path.join(cfg.work_dir, "profile")):
         for dataset in datasets:
             cfg.dataset_cfg.valset_cfg.DATASET = dataset
             print(f"running {dataset}")
-            runner = Runner(cfg, mode="eval", load_from=args.load_from)
+            runner = Runner(
+                cfg, mode="eval", load_from=args.load_from, feature_extractor=fe
+            )
+            fe = runner.feature_extractor
             results[dataset] = runner.launch_val_look_twice()
     for name, res in results.items():
         print(name, {k: round(v, 4) for k, v in res.items()})

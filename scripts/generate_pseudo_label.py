@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--fe_type", type=str, default="dinov2", choices=["dinov1", "dinov2"])
+    parser.add_argument("--overwrite", action="store_true",
+                        help="Regenerate even if a complete cache exists "
+                             "(e.g. after changing --th_bkg)")
     args = parser.parse_args()
 
     import numpy as np
@@ -65,6 +68,18 @@ def main():
     logger.log(f"Found {len(image_paths)} images from {args.dataset}.")
 
     cache = ArrayCache(os.path.join(args.cache_path, args.dataset))
+    if cache.mode == "r":
+        # a complete cache opens read-only; without this the first write
+        # below would raise an opaque "not in write mode" AFTER the backbone
+        # warmed up — decide up front instead
+        if not args.overwrite:
+            logger.log(
+                f"Pseudo-label cache at {cache.base_path} is already complete "
+                f"({len(cache)} entries); pass --overwrite to regenerate "
+                "(required after changing --th_bkg or the image set)"
+            )
+            return
+        cache.invalidate("--overwrite requested")
     size = (args.image_size, args.image_size)
     grid = args.image_size // fe.config.patch_size
 
@@ -85,7 +100,19 @@ def main():
             idx += 1
         if (start // args.batch_size) % 10 == 0:
             logger.log(f"pseudo-labels: {idx}/{len(image_paths)}")
-    cache.flush()
+    import hashlib
+
+    stems = "\n".join(os.path.splitext(os.path.basename(str(p)))[0] for p in image_paths)
+    cache.flush(
+        meta={
+            "n": idx,
+            # same identity scheme as CODDataset._cache_identity: lets the
+            # trainer invalidate this positional cache when the image set
+            # changes underneath it
+            "fingerprint": hashlib.sha1(stems.encode()).hexdigest(),
+            "th_bkg": args.th_bkg,
+        }
+    )
     logger.log(f"Generated {idx} pseudo labels into {cache.base_path}")
 
 

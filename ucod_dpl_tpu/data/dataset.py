@@ -120,8 +120,50 @@ class CODDataset:
         self.caches = CacheSet(
             cache_dir, feature_extractor_cfg.type, mode, set_cfg.DATASET, logger=self.logger
         )
+        self._validate_cache("features")
+        if mode == "train":
+            # the pseudo-label cache is positional too; a stale one pairs
+            # images with another image's labels (invalidation downgrades it
+            # to the loud "run generate_pseudo_label first" failure)
+            self._validate_cache("pseudo_label")
         if self.caches.get("features").mode == "w":
             self._build_coordinated(("features",), self._build_feature_cache)
+
+    def _cache_identity(self) -> Dict[str, Any]:
+        """Count + image-stem fingerprint of the dataset this cache indexes.
+        Caches are POSITIONAL (entry i <-> image_paths[i]), so a grown
+        dataset KeyErrors mid-train and a shrunk/renamed one silently pairs
+        every image with another image's features."""
+        import hashlib
+
+        stems = "\n".join(p.stem for p in self.image_paths)
+        return {
+            "n": len(self.image_paths),
+            "fingerprint": hashlib.sha1(stems.encode()).hexdigest(),
+        }
+
+    def _validate_cache(self, kind: str) -> None:
+        """Invalidate a complete-looking cache whose identity does not match
+        the current dataset.  Legacy/reference caches carry no fingerprint
+        sidecar — for those only the entry count is checkable (a same-size
+        rename is undetectable; documented limitation of the interchange
+        contract)."""
+        cache = self.caches.get(kind)
+        if cache.mode != "r":
+            return
+        ident = self._cache_identity()
+        if len(cache) != ident["n"]:
+            cache.invalidate(
+                f"{len(cache)} cached entries for {ident['n']} images — the "
+                "dataset changed since the cache was built"
+            )
+            return
+        meta = cache.read_meta()
+        if meta is not None and meta.get("fingerprint") != ident["fingerprint"]:
+            cache.invalidate(
+                "image set changed since the cache was built (fingerprint "
+                "mismatch at equal count — renamed/replaced files)"
+            )
 
     def _build_coordinated(self, kinds, build_fn, timeout_s: float = 7200.0) -> None:
         """Multi-host cache builds: only process 0 writes.
@@ -244,7 +286,7 @@ class CODDataset:
                     cache.write(idx, f.astype(np.float32))
                     idx += 1
                 progress.update(len(chunk))
-        cache.flush()
+        cache.flush(meta=self._cache_identity())
         progress.finish()
         self.logger.log(f"Feature cache complete: {idx} samples")
 
@@ -295,6 +337,9 @@ class LRDataset(CODDataset):
         self.window_size = window_size
         self.require_m_patches = require_m_patches
         super().__init__(*args, **kwargs)
+        self._validate_cache("patch")
+        if self.require_m_patches:
+            self._validate_cache("m_patch")
         if self.caches.get("patch").mode == "w" or (
             self.require_m_patches and self.caches.get("m_patch").mode == "w"
         ):
@@ -405,9 +450,9 @@ class LRDataset(CODDataset):
                 progress.update(c)
         progress.finish()
         if build_patch:
-            patch_cache.flush()
+            patch_cache.flush(meta=self._cache_identity())
         if build_m:
-            m_cache.flush()
+            m_cache.flush(meta=self._cache_identity())
 
     def get_features(self, img_path: str, crop_center: bool = False):
         """Live multi-resolution extraction; with ``crop_center`` the centre
@@ -473,13 +518,22 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         shard: Optional[tuple] = None,
+        pad_shards: bool = False,
     ):
+        """``pad_shards``: wrap-pad the global order so every process gets
+        the SAME number of batches (torch DistributedSampler semantics).
+        REQUIRED for training loaders — train steps are GSPMD collective
+        programs, so a process with one more batch than its peers enters a
+        collective the others never join and the pod hangs.  Leave False
+        for eval loaders: their metric gather is ragged-aware, and padding
+        would double-count the wrapped samples."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.shard = shard
+        self.pad_shards = pad_shards
         self.seed = seed
         self._epoch = 0
         self._skip_batches = 0
@@ -508,6 +562,12 @@ class DataLoader:
             np.random.default_rng((self.seed, self._epoch)).shuffle(order)
         if self.shard is not None:
             index, count = self.shard
+            if self.pad_shards and len(order) % count:
+                # wrap-pad so index::count slices are equal length (see
+                # __init__); deterministic: the pad is a pure function of
+                # the (seed, epoch) order
+                total = -(-len(order) // count) * count
+                order = np.concatenate([order, order[: total - len(order)]])
             order = order[index::count]
         return order
 
@@ -543,23 +603,52 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches(order):
-                    q.put(batch)
+                    # bounded put that honours abandonment: if the consumer
+                    # stops iterating early (an exception in the training
+                    # loop, a preemption), a plain q.put would block forever
+                    # once the queue fills, leaking this thread and its
+                    # queued batches for the life of the process
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # surface loader errors on the consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
-
+                # the sentinel must actually land (a dropped sentinel hangs
+                # the consumer's q.get forever); bounded retries so an
+                # abandoned consumer (stop set, queue full) still lets the
+                # thread exit
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while True:  # unblock a producer stuck in put()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=10.0)
         if err:
             raise err[0]

@@ -57,7 +57,17 @@ def _enable_compilation_cache() -> None:
 class Runner:
     """Stage-1 (UCOD-DPL) runner: student/EMA decoder + discriminator."""
 
-    def __init__(self, cfg, mode: str = "train", load_from: Optional[str] = None):
+    def __init__(
+        self,
+        cfg,
+        mode: str = "train",
+        load_from: Optional[str] = None,
+        feature_extractor: Optional[FeatureExtractor] = None,
+    ):
+        """``feature_extractor``: pass a previously built extractor to share
+        it across Runners (the multi-dataset eval CLIs construct one Runner
+        per test set — without sharing, each rebuilds the backbone and pays
+        its jit closures' re-trace/re-compile again)."""
         self.cfg = cfg
         self.mode = mode
         from ucod_dpl_tpu.parallel.distributed import maybe_initialize_distributed
@@ -74,7 +84,7 @@ class Runner:
         # mesh plumbed through: tpu_cfg.mesh = {"data": N, "model": M>1}
         # runs the backbone tensor-parallel (parallel/tp.py) on eval, cache
         # build, LookTwice crops and serving — not just bespoke scripts
-        self.feature_extractor = FeatureExtractor(
+        self.feature_extractor = feature_extractor or FeatureExtractor(
             cfg.dataset_cfg.feature_extractor_cfg,
             compute_dtype=resolve_compute_dtype(cfg),
             mesh=self.mesh,
@@ -163,6 +173,10 @@ class Runner:
                 seed=self.cfg.get("seed", 42),
                 drop_last=True,
                 shard=shard,
+                # train steps are collective programs: every process must
+                # run the SAME batch count or the pod deadlocks on the
+                # extra step (eval stays ragged — its gather handles it)
+                pad_shards=True,
             )
             if len(self.train_dataloader) == 0:
                 raise ValueError(
@@ -257,9 +271,12 @@ class LocalRefineRunner(Runner):
         mode: str = "val",
         load_from: Optional[str] = None,
         refiner_path: Optional[str] = None,
+        feature_extractor: Optional[FeatureExtractor] = None,
     ):
         self._refiner_path = refiner_path
-        super().__init__(cfg, mode=mode, load_from=load_from)
+        super().__init__(
+            cfg, mode=mode, load_from=load_from, feature_extractor=feature_extractor
+        )
 
     def _build_model(self, load_from: Optional[str]) -> None:
         super()._build_model(load_from)

@@ -170,7 +170,9 @@ def bilateral_solver_output(
     image = np.asarray(image)
     if image.dtype != np.uint8:
         image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-    target = np.asarray(target, dtype=np.float64)
+    target = np.squeeze(np.asarray(target, dtype=np.float64))
+    if target.ndim != 2:
+        raise ValueError(f"target must be (H, W) or (H, W, 1); got {target.shape}")
     h, w = target.shape
 
     grid = BilateralGrid(
@@ -217,7 +219,9 @@ def apply_bilateral_solver(
     rejected.
     """
     gp = {**DEFAULT_GRID_PARAMS, **(grid_params or {})}
-    mask = np.asarray(mask, dtype=np.float64)
+    # squeeze (H, W, 1) pipeline masks: the IoU below would otherwise
+    # broadcast (H, W, 1) against the solver's (H, W) into (H, W, W)
+    mask = np.squeeze(np.asarray(mask, dtype=np.float64))
     _, binary = bilateral_solver_output(
         image,
         mask,

@@ -28,7 +28,10 @@ def connected_components(mask: np.ndarray) -> Tuple[int, np.ndarray]:
     label; here the count excludes it)."""
     import os
 
-    if os.environ.get("UCOD_NATIVE_CC"):
+    # boolean env semantics matching the other UCOD_* flags: unset/empty/
+    # '0'/'false'/'no' are OFF (a raw-truthiness check would treat
+    # UCOD_NATIVE_CC=0 as enabling the native path)
+    if os.environ.get("UCOD_NATIVE_CC", "").strip().lower() not in ("", "0", "false", "no"):
         from ucod_dpl_tpu.utils import native
 
         result = native.cc_label(mask)

@@ -117,13 +117,43 @@ class ArrayCache:
             self.write(i, arr)
         self.flush()
 
-    def flush(self) -> None:
+    def flush(self, meta: Optional[Dict[str, Any]] = None) -> None:
+        if meta is not None:
+            # dataset-identity sidecar (count + image-stem fingerprint):
+            # written BEFORE the index so a crash between the two leaves the
+            # cache incomplete (index missing -> rebuild), never a complete
+            # index with unverifiable identity.  Separate file, not a key in
+            # index.json — the flat {idx: fname} manifest is the
+            # reference-cache interchange contract.
+            JSONIO.write_file(self.base_path / "cache_meta.json", meta)
         JSONIO.write_file(
             self.index_path,
             {k: (v if isinstance(v, str) else Path(v).name) for k, v in self.index_map.items()},
         )
         self._prepare_reading()
         self.mode = "r"
+
+    def read_meta(self) -> Optional[Dict[str, Any]]:
+        """The identity sidecar, or None for legacy/reference caches."""
+        p = self.base_path / "cache_meta.json"
+        if not p.exists():
+            return None
+        try:
+            return JSONIO.read_file(p)
+        except (json.JSONDecodeError, OSError):
+            return None
+
+    def invalidate(self, reason: str) -> None:
+        """Drop the manifest and re-enter write mode (sample files are left
+        to be overwritten by the rebuild)."""
+        if self.logger is not None:
+            self.logger.log(f"Invalidating cache at {self.base_path}: {reason}")
+        for name in ("index.json", "cache_meta.json"):
+            p = self.base_path / name
+            if p.exists():
+                p.unlink()
+        self.index_map = {}
+        self.mode = "w"
 
 
 _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
