@@ -120,7 +120,15 @@ def main():
         checksum = int(eval_many(backbone, decoder, pixels, iters + 1))
         best_many = min(best_many, time.perf_counter() - t0)
         assert checksum >= 0
-    best_dt = max(best_many - best_one, 1e-9)
+    best_dt = best_many - best_one
+    # sanity: timing noise can invert many/one on a badly contended host —
+    # an absurd implied rate must FAIL loudly, not print a nonsense JSON
+    # line a driver would record as a measurement
+    if best_dt <= 0 or batch * iters / best_dt > 50_000:
+        raise RuntimeError(
+            f"timing inverted/absurd (one={best_one:.4f}s many={best_many:.4f}s): "
+            "host too contended to measure — re-run on a quiet host"
+        )
 
     imgs_per_sec = batch * iters / best_dt
     print(

@@ -89,25 +89,38 @@ def main():
 
         from ucod_dpl_tpu.data.dataset import CODDataset
 
-        fe_warm = FeatureExtractor(
+        from ucod_dpl_tpu.parallel import build_mesh
+
+        # the SAME mesh the Runner will use: a mesh-less warm extractor
+        # compiles an unsharded-input executable that a multi-device
+        # Runner's sharded inputs would not hit — the compile would land
+        # inside t_build after all
+        mesh = build_mesh(cfg.get("tpu_cfg", {}).get("mesh"))
+        fe = FeatureExtractor(
             cfg.dataset_cfg.feature_extractor_cfg,
             compute_dtype=resolve_compute_dtype(cfg),
+            mesh=mesh,
         )
         size = tuple(cfg.dataset_cfg.valset_cfg.image_size)
-        # warm the exact batch shape the cache build will compile: the
+        # warm the exact batch shapes the cache build will compile: the
         # resolved config's override wins (runner._make_dataset passes it),
-        # falling back to the constructor default
+        # falling back to the constructor default — plus the ragged tail
+        # batch when N does not divide evenly (a second jit cache entry)
         warm_bs = cfg.dataset_cfg.valset_cfg.get(
             "cache_build_batch",
             inspect.signature(CODDataset.__init__).parameters[
                 "cache_build_batch"
             ].default,
         )
-        fe_warm.extract(np.zeros((warm_bs, *size, 3), np.float32))
-        del fe_warm  # drop the duplicate backbone params (~330MB HBM)
+        fe.extract(np.zeros((warm_bs, *size, 3), np.float32))
+        tail = N_IMAGES % warm_bs
+        if tail:
+            fe.extract(np.zeros((tail, *size, 3), np.float32))
 
         t0 = time.perf_counter()
-        runner = Runner(cfg, mode="eval")  # builds the feature cache
+        # the warmed extractor is SHARED with the Runner (same object, same
+        # jit cache), so t_build times the cache sweep itself
+        runner = Runner(cfg, mode="eval", feature_extractor=fe)
         t_build = time.perf_counter() - t0
 
         # warm the jitted programs once, then measure the steady-state loop

@@ -12,12 +12,11 @@ def init_cfg(args, mode: str):
     cfg = load_config(args.config, overrides=args.opts or None)
     cfg.mode = mode
     cfg.dataset_cfg.valset_cfg.keep_size = mode != "train"
-    if args.load_from:
-        cfg.train_cfg.checkpoint = args.load_from
-    if args.refiner_path:
-        cfg.train_cfg.refiner_path = args.refiner_path
+    # load_from/refiner_path flow to the Runner constructors directly (the
+    # entry scripts pass args.*) — mirroring them into dead cfg keys here
+    # would mislead config authors into expecting a cfg-driven load path
     if args.resume:
-        cfg.train_cfg.resume = args.resume
+        cfg.train_cfg.resume = args.resume  # consumed by TrainLoop._resume
     # work_dir derived from the config path, as the reference does
     # (scripts/train.py:14-18)
     cfg_dir = os.path.dirname(os.path.abspath(args.config))

@@ -74,11 +74,11 @@ for variant, tbl in _CORAL.items():
 DEFAULT_DATASETS = ["CHAMELEON", "TE-CAMO", "TE-COD10K", "NC4K"]
 
 
-def _load_cfg(variant: str, args):
+def _load_stage_cfg(cfg_prefix: str, log_prefix: str, variant: str, args):
     from ucod_dpl_tpu.config import load_config
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(os.path.join(root, "configs", "uscod", f"UCOD-DPL_{variant}.py"))
+    cfg = load_config(os.path.join(root, "configs", "uscod", f"{cfg_prefix}_{variant}.py"))
     cfg.dataset_cfg.dataset_dir = args.data_dir
     cfg.dataset_cfg.cache_dir = args.cache_dir
     if args.backbone_weights:
@@ -87,34 +87,19 @@ def _load_cfg(variant: str, args):
     cfg.mode = "eval"
     cfg.dataset_cfg.valset_cfg.keep_size = True
     cfg.work_dir = args.work_dir
-    cfg.log_cfg.log_path = os.path.join(args.work_dir, f"parity_{variant}")
-    return cfg
-
-
-def _load_coral_cfg(variant: str, args):
-    from ucod_dpl_tpu.config import load_config
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(os.path.join(root, "configs", "uscod", f"CORAL_{variant}.py"))
-    cfg.dataset_cfg.dataset_dir = args.data_dir
-    cfg.dataset_cfg.cache_dir = args.cache_dir
-    if args.backbone_weights:
-        cfg.dataset_cfg.feature_extractor_cfg.backbone_weights = args.backbone_weights
-    cfg.dataset_cfg.feature_extractor_cfg.strict_weights = not args.allow_random_backbone
-    cfg.mode = "eval"
-    cfg.dataset_cfg.valset_cfg.keep_size = True
-    cfg.work_dir = args.work_dir
-    cfg.log_cfg.log_path = os.path.join(args.work_dir, f"parity_coral_{variant}")
+    cfg.log_cfg.log_path = os.path.join(args.work_dir, f"{log_prefix}_{variant}")
     return cfg
 
 
 def run_stage1(variant: str, decoder_ckpt: str, datasets, args, report):
     from ucod_dpl_tpu.engine import Runner
 
-    cfg = _load_cfg(variant, args)
+    cfg = _load_stage_cfg("UCOD-DPL", "parity", variant, args)
+    fe = None  # one backbone per variant, shared across the test sets
     for ds in datasets:
         cfg.dataset_cfg.valset_cfg.DATASET = ds
-        runner = Runner(cfg, mode="eval", load_from=decoder_ckpt)
+        runner = Runner(cfg, mode="eval", load_from=decoder_ckpt, feature_extractor=fe)
+        fe = runner.feature_extractor
         result = runner.launch_val_look_twice()
         _compare(report, ("UCOD-DPL", variant, ds), result, args.tolerance)
 
@@ -122,12 +107,15 @@ def run_stage1(variant: str, decoder_ckpt: str, datasets, args, report):
 def run_coral(variant: str, decoder_ckpt: str, refiner_ckpt: str, datasets, args, report):
     from ucod_dpl_tpu.engine.runner import LocalRefineRunner
 
-    cfg = _load_coral_cfg(variant, args)
+    cfg = _load_stage_cfg("CORAL", "parity_coral", variant, args)
+    fe = None
     for ds in datasets:
         cfg.dataset_cfg.valset_cfg.DATASET = ds
         runner = LocalRefineRunner(
-            cfg, mode="eval", load_from=decoder_ckpt, refiner_path=refiner_ckpt
+            cfg, mode="eval", load_from=decoder_ckpt, refiner_path=refiner_ckpt,
+            feature_extractor=fe,
         )
+        fe = runner.feature_extractor
         result = runner.launch_val()
         _compare(report, ("CORAL", variant, ds), result, args.tolerance)
 
@@ -172,7 +160,16 @@ def main():
                     help="plumbing tests only: run without pretrained weights")
     args = ap.parse_args()
 
-    datasets = [d for d in args.datasets.split(",") if d]
+    datasets = [d.strip() for d in args.datasets.split(",") if d.strip()]
+    if not datasets:
+        ap.error("--datasets resolved to an empty list")
+    unknown = [d for d in datasets if not any(k[2] == d for k in BASELINE)]
+    if unknown:
+        ap.error(
+            f"dataset(s) {unknown} have no published baseline entry "
+            f"(known: {sorted({k[2] for k in BASELINE})}) — a typo'd name "
+            "would otherwise produce '----' rows and a vacuous exit 0"
+        )
     report = []
     ran = False
     for variant, dec in (("dinov2", args.decoder_v2), ("dinov1", args.decoder_v1)):
@@ -193,6 +190,10 @@ def main():
         json.dump(report, f, indent=2)
     print(f"report written to {args.report}")
     failed = [r for r in report if r["pass"] is False]
+    compared = [r for r in report if r["pass"] is not None]
+    if not compared:
+        print("ERROR: no metric was compared against a published value")
+        sys.exit(2)  # 'exit 0 iff every compared metric passed' needs >= 1
     sys.exit(1 if failed else 0)
 
 

@@ -437,6 +437,10 @@ def center_logits_shift(logits: np.ndarray, q_lo=0.3, q_hi=0.7):
     above cross-framework f32 drift, so binarised masks cannot flip."""
     s = np.sort(np.asarray(logits, np.float64).ravel())
     lo, hi = int(len(s) * q_lo), int(len(s) * q_hi)
+    if hi - lo < 2:  # tiny oracles: widen to the full array (still >= 2)
+        lo, hi = 0, len(s)
+    if len(s) < 2:
+        raise ValueError("center_logits_shift needs at least 2 logits")
     gaps = np.diff(s[lo:hi])
     i = int(np.argmax(gaps))
     mid = (s[lo + i] + s[lo + i + 1]) / 2.0

@@ -46,7 +46,10 @@ def test_init_cfg_train_mode_and_overrides(tmp_path, monkeypatch):
     assert cfg.dataset_cfg.valset_cfg.keep_size is False
     assert cfg.train_cfg.lr0 == 5e-4
     assert cfg.model_cfg.feature_size == 32
-    assert cfg.train_cfg.checkpoint == "/some/ckpt.safetensors"
+    # load_from flows to the Runner constructor directly, NOT into cfg
+    # (a dead cfg key would mislead config authors); only resume is
+    # cfg-consumed (TrainLoop._resume)
+    assert "checkpoint" not in cfg.train_cfg
     assert cfg.train_cfg.resume == "/some/state"
 
 
