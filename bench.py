@@ -29,9 +29,32 @@ A100_PYTORCH_BASELINE_IMGS_PER_SEC = 100.0
 
 
 def main():
+    import threading
+
+    # backend discovery over the axon tunnel can hang INDEFINITELY when the
+    # remote agent holds a stale claim (observed after a client was killed
+    # mid-remote-compile): bound it so a wedged tunnel fails loudly instead
+    # of hanging the driver forever.  jax.devices() normally returns in
+    # seconds; 600s is far beyond any healthy init.
+    ready = threading.Event()
+
+    def watchdog():
+        if not ready.wait(600.0):
+            print(
+                "bench.py: backend discovery exceeded 600s — the TPU tunnel "
+                "appears wedged (stale remote claim?); aborting",
+                file=sys.stderr,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    jax.devices()
+    ready.set()
 
     from ucod_dpl_tpu.engine.runner import _enable_compilation_cache
 
