@@ -33,9 +33,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    import threading
+
+    # same bounded backend discovery as bench.py: a wedged tunnel (stale
+    # remote claim after a mid-compile kill) hangs jax.devices() forever
+    ready = threading.Event()
+
+    def watchdog():
+        if not ready.wait(600.0):
+            print(
+                "tpu_selfcheck: backend discovery exceeded 600s — the TPU "
+                "tunnel appears wedged; aborting",
+                file=sys.stderr,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    jax.devices()
+    ready.set()
 
     from ucod_dpl_tpu.engine.runner import _enable_compilation_cache
 
