@@ -14,6 +14,8 @@ from ucod_dpl_tpu.engine.runner import LocalRefineRunner
 
 from test_eval_e2e import DIM, _make_synthetic_dataset, _tiny_cfg
 
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
+
 
 def test_concate_m_patch_preds_matches_reference_semantics():
     """2x2 stitching with stride 34 over a 102 canvas (loop_CORAL.py:62-96)."""

@@ -15,6 +15,8 @@ Processes must end bitwise-identical (one SPMD program), which is exactly
 the property the reference's post-prepare ``.module`` unwrap broke.
 """
 
+import pytest
+
 import os
 import socket
 import subprocess
@@ -22,6 +24,8 @@ import sys
 import textwrap
 
 import numpy as np
+
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

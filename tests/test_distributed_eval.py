@@ -11,6 +11,8 @@ IDENTICAL on both processes and equal to a single-process run over the
 same data.
 """
 
+import pytest
+
 import json
 import os
 import socket
@@ -19,6 +21,8 @@ import sys
 import textwrap
 
 import numpy as np
+
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

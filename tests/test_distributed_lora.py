@@ -16,6 +16,9 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

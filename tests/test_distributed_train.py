@@ -9,6 +9,8 @@ reference silently broke by unwrapping ``.module`` right after
 per-rank models drift apart because gradients never all-reduce.
 """
 
+import pytest
+
 import os
 import socket
 import subprocess
@@ -16,6 +18,8 @@ import sys
 import textwrap
 
 import numpy as np
+
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

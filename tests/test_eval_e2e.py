@@ -14,6 +14,8 @@ from PIL import Image
 from ucod_dpl_tpu.config import CfgNode
 from ucod_dpl_tpu.engine import Runner
 
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
+
 DIM = 64
 
 

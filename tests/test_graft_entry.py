@@ -4,9 +4,13 @@ multi-chip dry run on the virtual CPU mesh."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.heavy  # full sharded train step on 8 virtual devices (~19s);
+# the driver executes dryrun_multichip separately every round anyway
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from ucod_dpl_tpu.config import CfgNode
 
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
+
 DIM = 64
 
 

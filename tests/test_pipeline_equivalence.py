@@ -56,9 +56,12 @@ from ref_pipeline_harness import (
 # be attributed, never absorbed by widening the tolerance.
 METRIC_ATOL = 1e-9
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.heavy,  # reference-oracle e2e: excluded from the quick loop
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not mounted"
+    ),
+]
 
 DIM = 768
 IMG = 56  # eval image size: 4x4 patch grid at patch 14

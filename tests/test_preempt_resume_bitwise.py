@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ucod_dpl_tpu.config import CfgNode
 
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
+
 
 def _train_cfg(tmp_path, sub, enable_val=False, save_interval=100):
     from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg

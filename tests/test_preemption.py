@@ -5,6 +5,8 @@ full resume state (state_preempt) and exit 128+15; a second run with
 --resume must restore and complete from the saved epoch.
 """
 
+import pytest
+
 import os
 import signal
 import subprocess
@@ -12,6 +14,8 @@ import sys
 import time
 
 import numpy as np
+
+pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
