@@ -142,6 +142,86 @@ def _compare(report, key, result, tol):
           + (f" delta={row.get('delta')}" if published else ""))
 
 
+def check_assets(args, datasets) -> list:
+    """Loud asset validation (VERDICT r3 #7): when a path EXISTS but is
+    malformed, fail with an actionable message instead of a deep stack
+    trace minutes into an eval.  Returns a list of problem strings."""
+    problems = []
+
+    for ds in datasets:
+        ds_root = os.path.join(args.data_dir, ds)
+        if not os.path.isdir(ds_root):
+            problems.append(
+                f"dataset {ds}: {ds_root} does not exist (expected "
+                f"<data-dir>/{ds}/{{im,gt}})"
+            )
+            continue
+        im, gt = os.path.join(ds_root, "im"), os.path.join(ds_root, "gt")
+        for sub in (im, gt):
+            if not os.path.isdir(sub):
+                problems.append(f"dataset {ds}: missing {sub}")
+        if not (os.path.isdir(im) and os.path.isdir(gt)):
+            continue
+        im_stems = {os.path.splitext(f)[0] for f in os.listdir(im)}
+        gt_stems = {os.path.splitext(f)[0] for f in os.listdir(gt)}
+        if not im_stems:
+            problems.append(f"dataset {ds}: {im} is empty")
+        missing_gt = sorted(im_stems - gt_stems)
+        if missing_gt:
+            problems.append(
+                f"dataset {ds}: {len(missing_gt)} image(s) without a gt "
+                f"mask (e.g. {missing_gt[:3]})"
+            )
+
+    def _check_safetensors(path, what, want_prefixes):
+        if path is None:
+            return
+        if not os.path.exists(path):
+            problems.append(f"{what}: {path} does not exist")
+            return
+        try:
+            from safetensors import safe_open
+
+            with safe_open(path, framework="np") as f:
+                keys = list(f.keys())
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{what}: {path} is not a readable safetensors file ({e})")
+            return
+        for prefix in want_prefixes:
+            if not any(k.startswith(prefix) for k in keys):
+                problems.append(
+                    f"{what}: {path} has no '{prefix}*' tensors "
+                    f"(found {sorted(keys)[:4]}...) — wrong checkpoint?"
+                )
+
+    _check_safetensors(args.decoder_v2, "--decoder-v2", ["decoder.", "decoder_ema."])
+    _check_safetensors(args.decoder_v1, "--decoder-v1", ["decoder.", "decoder_ema."])
+    _check_safetensors(args.refiner_v2, "--refiner-v2", [""])
+    _check_safetensors(args.refiner_v1, "--refiner-v1", [""])
+
+    if args.backbone_weights:
+        bw = args.backbone_weights
+        if not os.path.isdir(bw):
+            problems.append(f"--backbone-weights: {bw} is not a directory")
+        else:
+            # FeatureExtractor resolves <dir>/<model>/model.safetensors or a
+            # flat model.safetensors / pytorch_model.bin (feature_extractor.py
+            # ::_candidate_weight_paths) — require at least one candidate
+            cands = []
+            for root, _, files in os.walk(bw):
+                cands += [
+                    os.path.join(root, f)
+                    for f in files
+                    if f in ("model.safetensors", "pytorch_model.bin")
+                ]
+            if not cands:
+                problems.append(
+                    f"--backbone-weights: no model.safetensors/"
+                    f"pytorch_model.bin anywhere under {bw}"
+                )
+    return problems
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-dir", required=True, help="RefCOD root with <DATASET>/{im,gt}")
@@ -158,6 +238,8 @@ def main():
     ap.add_argument("--report", default="parity_report.json")
     ap.add_argument("--allow-random-backbone", action="store_true",
                     help="plumbing tests only: run without pretrained weights")
+    ap.add_argument("--check-assets", action="store_true",
+                    help="validate dataset/weight layout and exit (0 = sane)")
     args = ap.parse_args()
 
     datasets = [d.strip() for d in args.datasets.split(",") if d.strip()]
@@ -170,6 +252,20 @@ def main():
             f"(known: {sorted({k[2] for k in BASELINE})}) — a typo'd name "
             "would otherwise produce '----' rows and a vacuous exit 0"
         )
+    problems = check_assets(args, datasets)
+    if args.check_assets:
+        for p in problems:
+            print(f"ASSET PROBLEM: {p}")
+        print("assets:", "OK" if not problems else f"{len(problems)} problem(s)")
+        sys.exit(0 if not problems else 2)
+    if problems:
+        for p in problems:
+            print(f"ASSET PROBLEM: {p}", file=sys.stderr)
+        sys.exit(
+            "malformed assets — fix the paths above (or run --check-assets "
+            "to iterate quickly) before burning an eval pass"
+        )
+
     report = []
     ran = False
     for variant, dec in (("dinov2", args.decoder_v2), ("dinov1", args.decoder_v1)):

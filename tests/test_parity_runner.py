@@ -18,10 +18,13 @@ from conftest import reference_available
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHIPPED = "/root/reference/weights/UCOD_DPL_dinov2.safetensors"
 
-pytestmark = pytest.mark.skipif(
-    not (reference_available() and os.path.exists(SHIPPED)),
-    reason="shipped reference checkpoint not available",
-)
+pytestmark = [
+    pytest.mark.heavy,  # subprocess e2e: excluded from the quick loop
+    pytest.mark.skipif(
+        not (reference_available() and os.path.exists(SHIPPED)),
+        reason="shipped reference checkpoint not available",
+    ),
+]
 
 
 def _synth(root, dataset="CHAMELEON", n=2):
@@ -71,7 +74,9 @@ def test_parity_runner_plumbing(tmp_path):
 
 
 def test_parity_runner_strict_refuses_random(tmp_path):
-    """Without --allow-random-backbone, missing weights must abort loudly."""
+    """Without --allow-random-backbone, missing weights must abort loudly —
+    now at the asset-validation gate, before any eval compute is spent
+    (strict in-extractor loading itself is pinned by test_serving.py)."""
     _synth(str(tmp_path / "RefCOD"))
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
     env["UCOD_FORCE_CPU"] = "1"
@@ -88,4 +93,50 @@ def test_parity_runner_strict_refuses_random(tmp_path):
         capture_output=True, text=True, timeout=300, env=env,
     )
     assert r.returncode != 0
-    assert "strict weight loading" in (r.stdout + r.stderr)
+    assert "ASSET PROBLEM" in (r.stdout + r.stderr)
+
+
+def _run_check_assets(tmp_path, extra, sub="RefCOD"):
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    return subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "parity.py"),
+            "--data-dir", str(tmp_path / sub),
+            "--cache-dir", str(tmp_path / "cache"),
+            "--datasets", "CHAMELEON",
+            "--check-assets",
+        ]
+        + extra,
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+
+
+def test_check_assets_accepts_sane_layout(tmp_path):
+    _synth(str(tmp_path / "RefCOD"))
+    r = _run_check_assets(tmp_path, ["--decoder-v2", SHIPPED])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "assets: OK" in r.stdout
+
+
+def test_check_assets_flags_malformed_layout(tmp_path):
+    """Existing-but-malformed paths fail LOUDLY with actionable messages:
+    a gt-less dataset, a garbage 'safetensors' file, an empty weights dir."""
+    import shutil
+
+    _synth(str(tmp_path / "RefCOD"))
+    shutil.rmtree(str(tmp_path / "RefCOD" / "CHAMELEON" / "gt"))
+    bad_ckpt = tmp_path / "bad.safetensors"
+    bad_ckpt.write_bytes(b"not a safetensors file")
+    (tmp_path / "weights").mkdir()
+    r = _run_check_assets(
+        tmp_path,
+        [
+            "--decoder-v2", str(bad_ckpt),
+            "--backbone-weights", str(tmp_path / "weights"),
+        ],
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    out = r.stdout
+    assert "missing" in out and "gt" in out
+    assert "not a readable safetensors" in out
+    assert "no model.safetensors" in out
