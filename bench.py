@@ -11,15 +11,30 @@ the round-4 key-fold is worth ~1% of the 491 -> 516 gain (the rest, the
 shift-invariant softmax kernel, applies to both compositions; see
 scripts/microbench/README.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the ratio against the driver's A100 PyTorch reference
-point (BASELINE.json targets >=5x images/sec/chip at 518px eval); the A100
-eager-fp16 HF-transformers baseline for ViT-B/14 @ 518px + decoder is taken
-as 100 img/s.
+Prints ONE JSON line.  Core keys (the driver contract):
+  {"metric", "value", "unit", "vs_baseline"}
+Self-certifying extras:
+  device_kind / peak_bf16_tflops — the chip the number was measured on;
+  flops_per_img / mfu — analytic backbone FLOPs for the measured
+    composition and achieved fraction of the chip's bf16 peak (the honest
+    absolute; ``vs_baseline`` keeps the caveated assumed-A100 ratio);
+  metrics — the other two hot paths (SURVEY §3.5): the one-time 756px
+    feature-cache build (img/s) and the stage-1 train step (ms/step),
+    skippable with UCOD_BENCH_FAST=1.
+
+Wedge resilience: the measurement runs in a CHILD process.  Backend
+discovery over the axon tunnel can hang indefinitely on a stale remote
+claim (observed after a client was killed mid-remote-compile) — the child
+bounds discovery with a watchdog and exits 3; the parent kills, backs off,
+and re-execs a fresh child (fresh process = fresh backend init) up to 3
+attempts before giving up loudly.  Remediation for a persistent wedge:
+stale claims self-heal minutes after the holder dies — wait, do not
+re-kill mid-compile (see MIGRATION.md "axon tunnel").
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,22 +42,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_PYTORCH_BASELINE_IMGS_PER_SEC = 100.0
 
+# bf16 peak per jax device (one v2/v3 device is a CORE; v4+ a megacore chip)
+_PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),  # Trillium / v6e chip
+    ("v5p", 459.0),
+    ("v5 lite", 197.0),  # v5e chip ("TPU v5 lite")
+    ("v5e", 197.0),
+    ("v5", 459.0),  # plain "TPU v5" reports the p variant
+    ("v4", 275.0),
+    ("v3", 61.4),  # per-core: v2/v3 expose each core as a device
+    ("v2", 23.0),
+)
 
-def main():
+DISCOVERY_WATCHDOG_S = 300.0
+ATTEMPTS = 3
+# post-discovery budget: remote compiles are 70-100s each and the extras add
+# ~3 programs; killing a client MID-REMOTE-COMPILE is exactly what creates a
+# stale remote claim (the wedge this retry loop exists to survive), so the
+# parent is generous once discovery has succeeded and only ever quick-kills
+# a child that is still stuck in discovery (which self-heals in ~30s).
+POST_DISCOVERY_BUDGET_S = 3000.0
+DISCOVERY_GRACE_S = 330.0  # child watchdog (300s) + margin; child self-exits
+BACKOFFS_S = (60.0, 120.0)
+
+
+def _peak_bf16_tflops(device_kind: str):
+    kind = device_kind.lower()
+    for key, peak in _PEAK_BF16_TFLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def _analytic_backbone_flops_per_img(cfg, img: int) -> float:
+    """Analytic bf16 FLOPs (mul+add = 2) of one ViT forward at ``img`` px:
+    per layer 24*N*D^2 (qkv/proj/mlp matmuls) + 4*N^2*D (scores + p@v),
+    plus the patch embed.  Decoder/upsample FLOPs are excluded (<1%), so
+    the derived MFU is a slight UNDERestimate — honest in the right
+    direction."""
+    n = (img // cfg.patch_size) ** 2 + 1
+    d = cfg.hidden_size
+    per_layer = 24 * n * d * d + 4 * n * n * d
+    patch_embed = 2 * n * (cfg.patch_size**2 * 3) * d
+    return float(cfg.num_layers * per_layer + patch_embed)
+
+
+def _min_marginal_rate(run_one, run_many, n_many: int, repeats: int = 3):
+    """Marginal per-iteration cost from the MINIMA of 1-iteration and
+    (n+1)-iteration timings taken separately — tunneled chips show large
+    run-to-run noise (host RTT spikes, shared terminal contention), and a
+    paired (many - one) with a noisy `one` would INFLATE the rate."""
+    best_one = float("inf")
+    best_many = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_one()
+        best_one = min(best_one, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_many()
+        best_many = min(best_many, time.perf_counter() - t0)
+    dt = best_many - best_one
+    return dt, best_one, best_many
+
+
+def measure():
     import threading
 
-    # backend discovery over the axon tunnel can hang INDEFINITELY when the
-    # remote agent holds a stale claim (observed after a client was killed
-    # mid-remote-compile): bound it so a wedged tunnel fails loudly instead
-    # of hanging the driver forever.  jax.devices() normally returns in
-    # seconds; 600s is far beyond any healthy init.
     ready = threading.Event()
 
     def watchdog():
-        if not ready.wait(600.0):
+        if not ready.wait(DISCOVERY_WATCHDOG_S):
             print(
-                "bench.py: backend discovery exceeded 600s — the TPU tunnel "
-                "appears wedged (stale remote claim?); aborting",
+                f"bench.py[child]: backend discovery exceeded "
+                f"{DISCOVERY_WATCHDOG_S:.0f}s — the TPU tunnel appears wedged "
+                "(stale remote claim?); exiting for a parent retry",
                 file=sys.stderr,
             )
             os._exit(3)
@@ -53,8 +126,17 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    if os.environ.get("UCOD_FORCE_CPU"):  # smoke tests: the axon plugin
+        # ignores JAX_PLATFORMS, force via config before discovery
+        jax.config.update("jax_platforms", "cpu")
+
     jax.devices()
     ready.set()
+    sentinel = os.environ.get("UCOD_BENCH_DISCOVERY_SENTINEL")
+    if sentinel:  # tell the parent discovery succeeded: from here on a
+        # kill would land mid-remote-compile and could wedge the tunnel
+        with open(sentinel, "w") as f:
+            f.write("ok")
 
     from ucod_dpl_tpu.engine.runner import _enable_compilation_cache
 
@@ -67,6 +149,7 @@ def main():
     cfg = DinoConfig.dinov2_base()
     on_tpu = jax.default_backend() == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    device_kind = jax.devices()[0].device_kind
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     backbone = init_dino(k1, cfg)
@@ -99,7 +182,8 @@ def main():
         # step can be CSE'd away.
         def body(i, acc):
             return acc + eval_body(
-                backbone_params, decoder_params, pixels + (acc % 3).astype(pixels.dtype) * 1e-6
+                backbone_params, decoder_params,
+                pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
             )
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
@@ -128,22 +212,11 @@ def main():
 
     int(eval_many(backbone, decoder, pixels, 1))
 
-    # tunneled chips show large run-to-run timing noise (host RTT spikes,
-    # shared terminal contention); estimate the marginal per-iteration cost
-    # from the MINIMA of the 1-iteration and (iters+1)-iteration timings
-    # taken separately — the min of each is its cleanest measurement, while
-    # a paired (many - one) with a noisy `one` would INFLATE the rate
-    best_one = float("inf")
-    best_many = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(eval_many(backbone, decoder, pixels, 1))
-        best_one = min(best_one, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        checksum = int(eval_many(backbone, decoder, pixels, iters + 1))
-        best_many = min(best_many, time.perf_counter() - t0)
-        assert checksum >= 0
-    best_dt = best_many - best_one
+    best_dt, best_one, best_many = _min_marginal_rate(
+        lambda: int(eval_many(backbone, decoder, pixels, 1)),
+        lambda: int(eval_many(backbone, decoder, pixels, iters + 1)),
+        iters,
+    )
     # sanity: timing noise can invert many/one on a badly contended host —
     # an absurd implied rate must FAIL loudly, not print a nonsense JSON
     # line a driver would record as a measurement
@@ -154,16 +227,243 @@ def main():
         )
 
     imgs_per_sec = batch * iters / best_dt
+    flops_per_img = _analytic_backbone_flops_per_img(cfg, img)
+    peak = _peak_bf16_tflops(device_kind) if on_tpu else None
+    mfu = (imgs_per_sec * flops_per_img / (peak * 1e12)) if peak else None
+
+    extras = []
+    if on_tpu and not os.environ.get("UCOD_BENCH_FAST"):
+        extras = _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype)
+
     print(
         json.dumps(
             {
                 "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
                 "value": round(imgs_per_sec, 2),
                 "unit": "img/s",
-                "vs_baseline": round(imgs_per_sec / A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3),
+                "vs_baseline": round(
+                    imgs_per_sec / A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3
+                ),
+                "device_kind": device_kind,
+                "backend": jax.default_backend(),
+                "flops_per_img": flops_per_img,
+                "peak_bf16_tflops": peak,
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "metrics": extras,
             }
         )
     )
+
+
+def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
+    """The other two hot paths (VERDICT r3 #4 / SURVEY §3.5):
+
+    * 756px feature-cache build — the throughput-dominant ONE-TIME stage
+      (stage-2 LR dataset, ``data/dataset.py:350-352``): full unfolded
+      forward materialising the (54, 54, 768) key-feature map;
+    * stage-1 train step (cached features, shipped config shapes:
+      bs16, 37x37 features -> 68 grid, ``loop_UCOD_DPL.py:148-184``).
+    """
+    from ucod_dpl_tpu.engine.train_step import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from ucod_dpl_tpu.models import init_discriminator
+    from ucod_dpl_tpu.models.dba import init_rev_decoder
+    from ucod_dpl_tpu.models.dino import dino_forward
+
+    extras = []
+    rng = np.random.default_rng(1)
+
+    # ---- 756px cache build ------------------------------------------------
+    cb_batch, cb_img = 8, 756
+
+    @jax.jit
+    def cache_many(params, pixels, n):
+        def body(i, acc):
+            out = dino_forward(
+                params,
+                pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
+                cfg,
+                compute_dtype=compute_dtype,
+            )
+            return acc + jnp.sum(out["key_features"].astype(jnp.float32) ** 2).astype(
+                jnp.float32
+            )
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    cb_pixels = jnp.asarray(
+        rng.standard_normal((cb_batch, cb_img, cb_img, 3)).astype(np.float32)
+    )
+    cb_iters = 4
+    float(cache_many(backbone, cb_pixels, 1))  # compile + warm
+    dt, one, many = _min_marginal_rate(
+        lambda: float(cache_many(backbone, cb_pixels, 1)),
+        lambda: float(cache_many(backbone, cb_pixels, cb_iters + 1)),
+        cb_iters,
+    )
+    if dt > 0 and cb_batch * cb_iters / dt < 50_000:
+        extras.append(
+            {
+                "metric": "756px feature-cache build (dinov2-base, unfolded)",
+                "value": round(cb_batch * cb_iters / dt, 2),
+                "unit": "img/s",
+            }
+        )
+
+    # ---- stage-1 train step ------------------------------------------------
+    from ucod_dpl_tpu.config import CfgNode
+
+    tcfg = CfgNode(
+        {
+            "model_cfg": {
+                "dim": cfg.hidden_size, "feature_size": 68,
+                "ema_weight": 0.99, "dis_use_features": False,
+            },
+            "train_cfg": {
+                "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",
+                "lr0": 2e-4, "dis_lr0": 1e-3,
+                "step_lr_gamma": 0.95, "step_lr_size": 25,
+            },
+            "log_cfg": {"log_interval": 50},
+        }
+    )
+    optimizer = make_optimizer(2e-4, 0.95, 25)
+    dis_optimizer = make_optimizer(1e-3, 0.95, 25)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    dec = init_rev_decoder(k1, cfg.hidden_size)
+    ema = init_rev_decoder(k2, cfg.hidden_size)
+    dis_p, dis_s = init_discriminator(k3, feature_size=68, use_features=False)
+    state = TrainState(
+        decoder=dec,
+        decoder_ema=ema,
+        opt_state=optimizer.init(dec),
+        dis_params=dis_p,
+        dis_stats=dis_s,
+        dis_opt_state=dis_optimizer.init(dis_p),
+        ema_step=jnp.zeros((), jnp.int32),
+    )
+    step = jax.jit(make_train_step(tcfg, optimizer))
+    feats = jnp.asarray(rng.standard_normal((16, 37, 37, 768)).astype(np.float32))
+    plabels = jnp.asarray(
+        (rng.random((16, 37, 37, 1)) > 0.5).astype(np.float32)
+    )
+    epoch = jnp.float32(1.0)
+    adv = jnp.float32(1.0)
+
+    def run_steps(n):
+        s = state
+        aux = None
+        for _ in range(n):
+            s, aux = step(s, feats, plabels, epoch, adv)
+        float(aux["loss"])  # sync
+
+    run_steps(1)  # compile + warm
+    tr_iters = 8
+    dt, one, many = _min_marginal_rate(
+        lambda: run_steps(1), lambda: run_steps(tr_iters + 1), tr_iters
+    )
+    if dt > 0:
+        extras.append(
+            {
+                "metric": "stage-1 train step (bs16 cached features, shipped config)",
+                "value": round(dt / tr_iters * 1e3, 2),
+                "unit": "ms/step",
+            }
+        )
+    return extras
+
+
+def main():
+    if "--_measure" in sys.argv or os.environ.get("UCOD_BENCH_NO_RETRY"):
+        measure()
+        return
+
+    import tempfile
+
+    last_rc = 1
+    for attempt in range(ATTEMPTS):
+        sentinel = tempfile.mktemp(prefix="ucod_bench_discovery_")
+        env = dict(os.environ, UCOD_BENCH_DISCOVERY_SENTINEL=sentinel)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--_measure"],
+            stdout=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        # phase 1: discovery.  The child self-exits(3) at 300s; give it
+        # +30s of margin, then treat a still-running discovery-phase child
+        # as hung and kill it (a discovery-phase kill self-heals in ~30s —
+        # unlike a mid-compile kill, which creates the stale-claim wedge).
+        deadline = time.monotonic() + DISCOVERY_GRACE_S
+        while proc.poll() is None and not os.path.exists(sentinel):
+            if time.monotonic() > deadline:
+                break
+            time.sleep(2.0)
+        discovered = os.path.exists(sentinel)
+        try:
+            # phase 2: measurement.  Post-discovery kills can wedge the
+            # tunnel, so the budget is generous; a child still stuck IN
+            # discovery past the grace is killed quickly.
+            budget = POST_DISCOVERY_BUDGET_S if discovered else 5.0
+            out, _ = proc.communicate(timeout=budget)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            phase = "measurement" if discovered else "discovery"
+            print(
+                f"bench.py: attempt {attempt + 1}/{ATTEMPTS} killed in "
+                f"{phase} phase (wedged tunnel?)",
+                file=sys.stderr,
+            )
+            last_rc = 3
+            if discovered:
+                # the kill may have landed mid-compile — retrying now
+                # would meet our own fresh stale claim; report and stop
+                print(
+                    "bench.py: a post-discovery kill can itself wedge the "
+                    "tunnel; not retrying. Wait for the claim to expire "
+                    "and re-run.",
+                    file=sys.stderr,
+                )
+                sys.exit(3)
+        else:
+            if proc.returncode == 0:
+                sys.stdout.write(out)
+                return
+            sys.stdout.write(out)
+            last_rc = proc.returncode
+            if proc.returncode != 3:
+                # real measurement failure (assert, numerics guard) — a
+                # fresh backend will not change it; fail fast and loudly
+                sys.exit(proc.returncode)
+            print(
+                f"bench.py: attempt {attempt + 1}/{ATTEMPTS} hit the "
+                "discovery watchdog (stale remote claim?)",
+                file=sys.stderr,
+            )
+        finally:
+            if os.path.exists(sentinel):
+                os.unlink(sentinel)
+        if attempt < ATTEMPTS - 1:
+            backoff = BACKOFFS_S[min(attempt, len(BACKOFFS_S) - 1)]
+            print(
+                f"bench.py: backing off {backoff:.0f}s before re-exec "
+                "(fresh backend init; stale claims self-heal once the "
+                "holder is gone)",
+                file=sys.stderr,
+            )
+            time.sleep(backoff)
+    print(
+        f"bench.py: all {ATTEMPTS} attempts failed — the TPU tunnel looks "
+        "persistently wedged.  Remediation: wait for the stale remote claim "
+        "to expire (minutes after the holding process dies), do NOT kill "
+        "clients mid-remote-compile, then re-run bench.py.",
+        file=sys.stderr,
+    )
+    sys.exit(last_rc)
 
 
 if __name__ == "__main__":

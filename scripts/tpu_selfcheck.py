@@ -19,7 +19,16 @@ XLA tile padding):
      normalise library builds+loads on THIS host and its batch output is
      bit-identical to the PIL chain (a host where it silently failed to
      build would fall back to PIL, slower but correct — this check makes
-     that visible).
+     that visible);
+  8. the 756px (2917-token) attention path ON CHIP (round 7): the forward
+     q-block law picks a budget-maximal block and the kernel matches XLA
+     at that length; the backward VMEM law returns None (flash bwd cannot
+     fit) so the VJP takes the XLA fallback — executed, finite, and
+     matching the naive-attention gradient.  Previously these decisions
+     were validated only by microbench runs referenced in comments
+     (ops/attention.py:191-203, 473-497).  TPU-only (skipped elsewhere:
+     interpret-mode at 2917 tokens is minutes-slow and exercises no
+     hardware law).
 
 Exit code 0 = all checks pass.  ~3-4 min on a fresh process (compiles);
 seconds when the compile cache is warm.
@@ -256,6 +265,102 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         check("native image pipeline builds + bit-exact vs PIL", False,
               f"raised: {type(e).__name__}: {e}")
+
+    # 8. 756px attention laws on chip (forward q-block + backward fallback)
+    if backend != "tpu":
+        print("SKIP  756px attention laws (TPU-only: no hardware VMEM law off-chip)")
+    else:
+        try:
+            L756 = (756 // cfg.patch_size) ** 2 + 1  # 2917 tokens
+            lp = ((L756 + 127) // 128) * 128  # 2944 after kernel padding
+            blk = A._pick_q_block(lp)
+            budget = A._score_budget_bytes()
+            fits = lp % blk == 0 and blk % 16 == 0 and lp * blk * 4 <= budget
+            larger = [
+                lp // n
+                for n in range(1, lp // blk)
+                if lp % n == 0 and (lp // n) % 16 == 0 and lp // n > blk
+            ]
+            maximal = all(lp * b2 * 4 > budget for b2 in larger)
+            q8, k8, v8 = (
+                jnp.asarray(
+                    rng.standard_normal((1, L756, nh * hd)).astype(np.float32),
+                    dtype=dtype,
+                )
+                for _ in range(3)
+            )
+            t0 = time.perf_counter()
+            out8 = np.asarray(
+                jax.jit(lambda a, b_, c: A.multi_head_attention(a, b_, c, nh, scale=0.125))(
+                    q8, k8, v8
+                )
+            ).astype(np.float32)
+
+            def split8(t):
+                return t.reshape(1, L756, nh, hd).transpose(0, 2, 1, 3).reshape(nh, L756, hd)
+
+            ref8 = np.asarray(
+                jax.jit(A._xla_attention)(split8(q8), split8(k8), split8(v8), 0.125)
+            ).astype(np.float32)
+            ref8 = ref8.reshape(1, nh, L756, hd).transpose(0, 2, 1, 3).reshape(1, L756, nh * hd)
+            fwd_diff = float(np.max(np.abs(out8 - ref8)))
+
+            # backward: the VMEM law must refuse a flash block at this
+            # length (both operand widths) and the VJP's XLA fallback must
+            # execute, stay finite, and match the naive-attention gradient
+            no_flash_bwd = (
+                A._bwd_block_q(lp, 2) is None and A._bwd_block_q(lp, 4) is None
+            )
+            from ucod_dpl_tpu.ops.attention import differentiable_mode
+
+            def loss_packed(t):
+                o = A.multi_head_attention(t, k8, v8, nh, scale=0.125)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            with differentiable_mode():
+                g_packed = np.asarray(
+                    jax.jit(jax.grad(loss_packed))(q8), np.float32
+                )
+
+            def loss_naive(t):
+                th = t.reshape(1, L756, nh, hd).transpose(0, 2, 1, 3)
+                kh = k8.reshape(1, L756, nh, hd).transpose(0, 2, 1, 3)
+                vh = v8.reshape(1, L756, nh, hd).transpose(0, 2, 1, 3)
+                s = jnp.einsum(
+                    "bhqd,bhkd->bhqk",
+                    th.astype(jnp.float32),
+                    kh.astype(jnp.float32),
+                ) * 0.125
+                p = jax.nn.softmax(s, axis=-1)
+                o = jnp.einsum("bhqk,bhkd->bhqd", p, vh.astype(jnp.float32))
+                return jnp.sum(o**2)
+
+            g_naive = np.asarray(jax.jit(jax.grad(loss_naive))(q8), np.float32)
+            grel = float(
+                np.linalg.norm(g_packed - g_naive)
+                / (np.linalg.norm(g_naive) + 1e-9)
+            )
+            ok8 = (
+                fits
+                and maximal
+                and np.isfinite(out8).all()
+                and fwd_diff < 0.02
+                and no_flash_bwd
+                and np.isfinite(g_packed).all()
+                and grel < 0.1
+            )
+            check(
+                "756px attention laws (fwd q-block + bwd fallback)",
+                bool(ok8),
+                f"block={blk}/{lp} budget={budget >> 20}MB fwd_maxdiff="
+                f"{fwd_diff:.4f} bwd_flash={'off' if no_flash_bwd else 'ON?'} "
+                f"grad_rel={grel:.4f} ({time.perf_counter()-t0:.0f}s)",
+            )
+        except Exception as e:  # noqa: BLE001
+            check(
+                "756px attention laws (fwd q-block + bwd fallback)", False,
+                f"raised: {type(e).__name__}: {e}",
+            )
 
     print("SELF-CHECK:", "OK" if not failures else f"FAILED ({failures})")
     return 0 if not failures else 1
