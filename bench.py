@@ -87,7 +87,7 @@ def _analytic_backbone_flops_per_img(cfg, img: int) -> float:
     return float(cfg.num_layers * per_layer + patch_embed)
 
 
-def _min_marginal_rate(run_one, run_many, n_many: int, repeats: int = 3):
+def _min_marginal_rate(run_one, run_many, repeats: int = 3):
     """Marginal per-iteration cost from the MINIMA of 1-iteration and
     (n+1)-iteration timings taken separately — tunneled chips show large
     run-to-run noise (host RTT spikes, shared terminal contention), and a
@@ -215,7 +215,6 @@ def measure():
     best_dt, best_one, best_many = _min_marginal_rate(
         lambda: int(eval_many(backbone, decoder, pixels, 1)),
         lambda: int(eval_many(backbone, decoder, pixels, iters + 1)),
-        iters,
     )
     # sanity: timing noise can invert many/one on a badly contended host —
     # an absurd implied rate must FAIL loudly, not print a nonsense JSON
@@ -302,8 +301,11 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
     dt, one, many = _min_marginal_rate(
         lambda: float(cache_many(backbone, cb_pixels, 1)),
         lambda: float(cache_many(backbone, cb_pixels, cb_iters + 1)),
-        cb_iters,
     )
+    # same absurd-rate contract as the primary metric: a noise-inverted
+    # timing must NOT land in the self-certifying JSON — but an extra is
+    # non-essential, so note the omission on stderr instead of aborting
+    # the whole bench
     if dt > 0 and cb_batch * cb_iters / dt < 50_000:
         extras.append(
             {
@@ -311,6 +313,12 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
                 "value": round(cb_batch * cb_iters / dt, 2),
                 "unit": "img/s",
             }
+        )
+    else:
+        print(
+            f"bench.py: cache-build extra omitted — timing inverted/absurd "
+            f"(one={one:.4f}s many={many:.4f}s); host too contended",
+            file=sys.stderr,
         )
 
     # ---- stage-1 train step ------------------------------------------------
@@ -363,15 +371,23 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
     run_steps(1)  # compile + warm
     tr_iters = 8
     dt, one, many = _min_marginal_rate(
-        lambda: run_steps(1), lambda: run_steps(tr_iters + 1), tr_iters
+        lambda: run_steps(1), lambda: run_steps(tr_iters + 1)
     )
-    if dt > 0:
+    # absurd-rate guard: a bs16 stage-1 step is milliseconds of real work;
+    # sub-0.1ms implies the marginal subtraction was eaten by host noise
+    if dt > 0 and dt / tr_iters > 1e-4:
         extras.append(
             {
                 "metric": "stage-1 train step (bs16 cached features, shipped config)",
                 "value": round(dt / tr_iters * 1e3, 2),
                 "unit": "ms/step",
             }
+        )
+    else:
+        print(
+            f"bench.py: train-step extra omitted — timing inverted/absurd "
+            f"(one={one:.4f}s many={many:.4f}s); host too contended",
+            file=sys.stderr,
         )
     return extras
 
@@ -384,8 +400,11 @@ def main():
     import tempfile
 
     last_rc = 1
+    # parent-owned tempdir: the sentinel path cannot pre-exist or be
+    # planted by another process (tempfile.mktemp is race-prone)
+    sentinel_dir = tempfile.mkdtemp(prefix="ucod_bench_")
     for attempt in range(ATTEMPTS):
-        sentinel = tempfile.mktemp(prefix="ucod_bench_discovery_")
+        sentinel = os.path.join(sentinel_dir, f"discovered_{attempt}")
         env = dict(os.environ, UCOD_BENCH_DISCOVERY_SENTINEL=sentinel)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--_measure"],
@@ -412,6 +431,10 @@ def main():
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()
+            # re-check: discovery may have completed between the snapshot
+            # and the kill — then the kill landed mid-compile and retrying
+            # would meet our own fresh stale claim
+            discovered = discovered or os.path.exists(sentinel)
             phase = "measurement" if discovered else "discovery"
             print(
                 f"bench.py: attempt {attempt + 1}/{ATTEMPTS} killed in "

@@ -162,8 +162,14 @@ def check_assets(args, datasets) -> list:
                 problems.append(f"dataset {ds}: missing {sub}")
         if not (os.path.isdir(im) and os.path.isdir(gt)):
             continue
-        im_stems = {os.path.splitext(f)[0] for f in os.listdir(im)}
-        gt_stems = {os.path.splitext(f)[0] for f in os.listdir(gt)}
+        # enumerate EXACTLY like the dataset loader (image extensions only):
+        # a stray README/.DS_Store must not abort a run the loader would
+        # have handled fine — the gate may not be stricter than the code
+        # it guards
+        from ucod_dpl_tpu.utils.fileio import ImageIO
+
+        im_stems = {p.stem for p in ImageIO.list_dir_image(im)}
+        gt_stems = {p.stem for p in ImageIO.list_dir_image(gt)}
         if not im_stems:
             problems.append(f"dataset {ds}: {im} is empty")
         missing_gt = sorted(im_stems - gt_stems)

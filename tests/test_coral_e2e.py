@@ -14,7 +14,8 @@ from ucod_dpl_tpu.engine.runner import LocalRefineRunner
 
 from test_eval_e2e import DIM, _make_synthetic_dataset, _tiny_cfg
 
-pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
+# the e2e runner tests are heavy (marked individually); the pure stitching
+# unit test stays in the quick loop
 
 
 def test_concate_m_patch_preds_matches_reference_semantics():
@@ -56,6 +57,7 @@ def _coral_cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.heavy
 def test_coral_eval_e2e(tmp_path):
     _make_synthetic_dataset(tmp_path / "RefCOD", n=3)
     cfg = _coral_cfg(tmp_path)
@@ -67,6 +69,7 @@ def test_coral_eval_e2e(tmp_path):
     assert len(os.listdir(preds_dir)) == 3
 
 
+@pytest.mark.heavy
 def test_coral_eval_with_m_patches_and_crop_center(tmp_path):
     """m-patch stitched coarse predictions + the centre-crop feature path."""
     _make_synthetic_dataset(tmp_path / "RefCOD", n=2)
@@ -96,6 +99,7 @@ def test_coral_eval_with_m_patches_and_crop_center(tmp_path):
     assert padded[0, 5, 6, 0] == 0.0
 
 
+@pytest.mark.heavy
 def test_coral_train_e2e(tmp_path):
     _make_synthetic_dataset(tmp_path / "RefCOD", n=4)
     cfg = _coral_cfg(tmp_path)
@@ -118,6 +122,7 @@ def test_coral_train_e2e(tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_coral_eval_batched_matches_bs1(tmp_path):
     """Stage-2 eval must accept val batch_size > 1 with identical metrics
     (the reference is hard-wired to bs=1, loop_CORAL.py:139)."""

@@ -14,7 +14,8 @@ from ucod_dpl_tpu.models.dba import rev_decoder_forward
 
 from test_train import DIM, FS, _init_state, _train_cfg
 
-pytestmark = pytest.mark.heavy  # multi-process / e2e: excluded from the quick loop
+pytestmark = pytest.mark.heavy  # wall-clock-heavy convergence runs (single-process):
+# hundreds of optimizer steps per test; excluded from the quick loop
 
 
 def _separable_batch(seed=0, b=8, grid=16):
@@ -235,15 +236,30 @@ def _train_refiner(setup, loss_fn_builder, steps=150, seed=3):
     )
 
 
-def test_stage2_refiner_beats_coarse():
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def stage2_setup():
+    return _stage2_setup()
+
+
+@_pytest.fixture(scope="module")
+def trained_with_ge(stage2_setup):
+    """One full-objective training run shared by the convergence test and
+    the ablation (same seed/data — retraining it per test doubled the
+    file's wall-clock for zero coverage)."""
     from ucod_dpl_tpu.models.udlr import refiner_train_loss
 
-    setup = _stage2_setup()
+    return _train_refiner(
+        stage2_setup,
+        lambda: lambda o, c, t: refiner_train_loss(o, c, t, window_size=WS),
+    )
+
+
+def test_stage2_refiner_beats_coarse(trained_with_ge):
     out, losses, iou_refined, iou_coarse, (refined_bin, coarse_bin, masks) = (
-        _train_refiner(
-            setup,
-            lambda: lambda o, c, t: refiner_train_loss(o, c, t, window_size=WS),
-        )
+        trained_with_ge
     )
     assert np.isfinite(losses[-1]) and losses[-1] < losses[0], (
         losses[0], losses[-1],
@@ -258,7 +274,7 @@ def test_stage2_refiner_beats_coarse():
     assert float(jnp.sum(out.mask)) > 0
 
 
-def test_ge_ensemble_term_ablation():
+def test_ge_ensemble_term_ablation(stage2_setup, trained_with_ge):
     """The GE ensemble term must be LOAD-BEARING (VERDICT r3 #8): the shipped
     distillation loss alone (cal_ex_loss, UDLR.py:52-75) gives the
     GatedEnsembler fuser NO gradient, so the fused output stays at random
@@ -266,17 +282,11 @@ def test_ge_ensemble_term_ablation():
     ``refiner_ensemble_loss`` (our completion of the unreleased upstream
     trainer) makes it win.  This pins the documented ablation with numbers
     instead of prose (recorded in ROADMAP.md)."""
-    from ucod_dpl_tpu.models.udlr import (
-        refiner_distillation_loss,
-        refiner_train_loss,
-    )
+    from ucod_dpl_tpu.models.udlr import refiner_distillation_loss
 
-    setup = _stage2_setup()
-    _, _, iou_with, iou_coarse, _ = _train_refiner(
-        setup, lambda: lambda o, c, t: refiner_train_loss(o, c, t, window_size=WS)
-    )
+    _, _, iou_with, iou_coarse, _ = trained_with_ge
     _, _, iou_without, iou_coarse2, _ = _train_refiner(
-        setup,
+        stage2_setup,
         lambda: lambda o, c, t: refiner_distillation_loss(o, c, t, window_size=WS),
     )
     assert iou_coarse == iou_coarse2  # same frozen decoder / data
