@@ -74,17 +74,27 @@ def _peak_bf16_tflops(device_kind: str):
     return None
 
 
-def _analytic_backbone_flops_per_img(cfg, img: int) -> float:
+def _analytic_backbone_flops_per_img(
+    cfg, img: int, key_fold_dim: int | None = None
+) -> float:
     """Analytic bf16 FLOPs (mul+add = 2) of one ViT forward at ``img`` px:
     per layer 24*N*D^2 (qkv/proj/mlp matmuls) + 4*N^2*D (scores + p@v),
-    plus the patch embed.  Decoder/upsample FLOPs are excluded (<1%), so
-    the derived MFU is a slight UNDERestimate — honest in the right
-    direction."""
+    plus the patch embed.
+
+    ``key_fold_dim``: the measured live-eval composition key-folds the
+    LAST layer down to ``LN1(x) @ (D, F)`` (models/dino.py::dino_forward)
+    — its q/v projections, attention, MLP and final norm are never
+    executed, so counting a full layer would INFLATE the derived MFU by
+    ~8%.  Decoder/upsample FLOPs are excluded (<1%), keeping the estimate
+    a slight UNDERcount — honest in the right direction."""
     n = (img // cfg.patch_size) ** 2 + 1
     d = cfg.hidden_size
     per_layer = 24 * n * d * d + 4 * n * n * d
     patch_embed = 2 * n * (cfg.patch_size**2 * 3) * d
-    return float(cfg.num_layers * per_layer + patch_embed)
+    total = float(cfg.num_layers * per_layer + patch_embed)
+    if key_fold_dim is not None:
+        total = total - per_layer + 2.0 * n * d * key_fold_dim
+    return total
 
 
 def _min_marginal_rate(run_one, run_many, repeats: int = 3):
@@ -226,7 +236,9 @@ def measure():
         )
 
     imgs_per_sec = batch * iters / best_dt
-    flops_per_img = _analytic_backbone_flops_per_img(cfg, img)
+    # fg_logits_live folds the decoder's 768->128 decoupling into the last
+    # key projection (2*EMBED_DIM = 128 output lanes)
+    flops_per_img = _analytic_backbone_flops_per_img(cfg, img, key_fold_dim=128)
     peak = _peak_bf16_tflops(device_kind) if on_tpu else None
     mfu = (imgs_per_sec * flops_per_img / (peak * 1e12)) if peak else None
 
