@@ -63,6 +63,10 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    if os.environ.get("UCOD_FORCE_CPU"):  # smoke runs: the axon plugin
+        # ignores JAX_PLATFORMS, force via config before discovery
+        jax.config.update("jax_platforms", "cpu")
+
     jax.devices()
     ready.set()
 

@@ -177,8 +177,14 @@ class LocalRefineEvaluator:
         from . import preempt
         from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
 
+        import jax as _jax
+
+        # see eval_loop.py: no-op outside trainers, and disabled in
+        # multi-process runs (ragged eval shards — a one-rank raise would
+        # strand the other ranks in the final metric allgather)
+        poll = preempt.check if _jax.process_count() == 1 else (lambda: None)
         for batch in runner.val_dataloader:
-            preempt.check()  # see eval_loop.py — no-op outside trainers
+            poll()
             labels = batch["label"]
             paths = batch["img_path"]
             l_input = np.asarray(batch["features"], np.float32)
@@ -341,7 +347,10 @@ class LocalRefineTrainLoop:
     def _maybe_preempt_exit(self, epoch: int, signum=None) -> None:
         from . import preempt
 
-        signum = signum if signum is not None else preempt.requested()
+        # cluster-agreed flag (see train_loop._maybe_preempt_exit): the
+        # refiner steps run in collective lockstep, so a one-rank exit
+        # would strand the other ranks in the next step's grad psum
+        signum = signum if signum is not None else preempt.requested_global()
         if signum is None:
             return
         self.runner.refiner_params = {

@@ -53,6 +53,40 @@ def requested() -> Optional[int]:
     return _signum
 
 
+def requested_global() -> Optional[int]:
+    """Cluster-agreed preemption signal: the MAX of every process's local
+    flag.
+
+    In a multi-process run the local flags race batch boundaries — the
+    platform delivers SIGTERM to each process independently, so rank A can
+    see the flag at boundary k while rank B first sees it at k+1.  If each
+    rank exited on its own flag, the collective checkpoint save would mix
+    steps (rank A writes step-k shards, rank B step-k+1 shards of the SAME
+    orbax save — silent corruption), or the early-exiting rank would leave
+    the others deadlocked in the next train step's gradient psum.  All
+    ranks call this at the same safe boundary (the train/dis phases run in
+    collective lockstep on wrap-padded equal shard counts), so every rank
+    sees the same answer and takes the same action at the same step.
+
+    Single-process: identical to :func:`requested` (no collective).
+
+    NOT safe in loops whose per-rank iteration counts differ (the RAGGED
+    eval shards) — a rank that polls fewer times would desynchronise the
+    allgather; the eval loops therefore poll only in single-process runs
+    (see eval_loop.py / coral_loop.py).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return requested()
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(_signum or 0))
+    m = int(np.max(flags))
+    return m or None
+
+
 def check() -> None:
     """Raise :class:`Preempted` if a preemption signal is pending (no-op in
     processes that never installed the handler)."""

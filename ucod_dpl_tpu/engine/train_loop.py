@@ -133,6 +133,22 @@ class TrainLoop:
             dis_opt_state=self.dis_optimizer.init(runner.discriminator_params),
             ema_step=jnp.zeros((), jnp.int32),
         )
+        # place the state REPLICATED on the mesh explicitly.  Fresh-init
+        # leaves are uncommitted host arrays that jit happens to re-place
+        # compatibly — but a --resume restore commits leaves to a single
+        # device (orbax restores with the template's sharding), and a
+        # multi-host resumed step then fails on mixed device sets.  The
+        # explicit placement makes the fresh path deliberate and gives the
+        # restore template the correct replicated sharding
+        # (tests/test_distributed_preempt.py resumes under 2 processes).
+        self.state = jax.device_put(self.state, replicate(runner.mesh))
+        if self.lora_enabled:
+            self.lora_params = jax.device_put(
+                self.lora_params, replicate(runner.mesh)
+            )
+            self.lora_opt_state = jax.device_put(
+                self.lora_opt_state, replicate(runner.mesh)
+            )
         self.finetune = False
         self.best_mae = float("inf")
         self.best_result: Optional[Dict[str, float]] = None
@@ -275,10 +291,17 @@ class TrainLoop:
         The checkpoint records the phase progress of the current epoch
         (``phase``/``dis_pass``/``batch_done``) so a resumed run skips the
         batches whose updates the saved state already contains — replaying
-        them would double-apply and diverge from the uninterrupted run."""
+        them would double-apply and diverge from the uninterrupted run.
+
+        Multi-process runs take the CLUSTER-agreed flag
+        (:func:`preempt.requested_global`): local flags race batch
+        boundaries, and per-rank decisions would mix steps inside the
+        collective orbax save or strand the other ranks in a psum (the
+        per-boundary 4-byte allgather is the price of a coherent pod
+        checkpoint; every call site here is in collective lockstep)."""
         from . import preempt
 
-        signum = signum if signum is not None else preempt.requested()
+        signum = signum if signum is not None else preempt.requested_global()
         if signum is None:
             return
         path = f"{self.runner.ckp_dir}/state_preempt"
