@@ -157,6 +157,15 @@ def measure():
     from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
     cfg = DinoConfig.dinov2_base()
+    tiny_extras = bool(os.environ.get("UCOD_BENCH_TINY_EXTRAS"))
+    if tiny_extras:
+        # test hook: shrink the backbone so the whole pipeline (primary +
+        # extras) executes on CPU in seconds — a wiring error in the extras
+        # must be caught BEFORE the one on-chip driver run the round's perf
+        # artifact depends on.  The printed numbers are meaningless.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_layers=2)
     on_tpu = jax.default_backend() == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     device_kind = jax.devices()[0].device_kind
@@ -243,7 +252,9 @@ def measure():
     mfu = (imgs_per_sec * flops_per_img / (peak * 1e12)) if peak else None
 
     extras = []
-    if on_tpu and not os.environ.get("UCOD_BENCH_FAST"):
+    if tiny_extras:
+        extras = _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=True)
+    elif on_tpu and not os.environ.get("UCOD_BENCH_FAST"):
         extras = _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype)
 
     print(
@@ -266,7 +277,7 @@ def measure():
     )
 
 
-def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
+def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
     """The other two hot paths (VERDICT r3 #4 / SURVEY §3.5):
 
     * 756px feature-cache build — the throughput-dominant ONE-TIME stage
@@ -288,7 +299,7 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
     rng = np.random.default_rng(1)
 
     # ---- 756px cache build ------------------------------------------------
-    cb_batch, cb_img = 8, 756
+    cb_batch, cb_img = (2, 126) if tiny else (8, 756)
 
     @jax.jit
     def cache_many(params, pixels, n):
@@ -366,9 +377,12 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
         ema_step=jnp.zeros((), jnp.int32),
     )
     step = jax.jit(make_train_step(tcfg, optimizer))
-    feats = jnp.asarray(rng.standard_normal((16, 37, 37, 768)).astype(np.float32))
+    tr_batch = 2 if tiny else 16
+    feats = jnp.asarray(
+        rng.standard_normal((tr_batch, 37, 37, cfg.hidden_size)).astype(np.float32)
+    )
     plabels = jnp.asarray(
-        (rng.random((16, 37, 37, 1)) > 0.5).astype(np.float32)
+        (rng.random((tr_batch, 37, 37, 1)) > 0.5).astype(np.float32)
     )
     epoch = jnp.float32(1.0)
     adv = jnp.float32(1.0)
@@ -398,6 +412,74 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype):
     else:
         print(
             f"bench.py: train-step extra omitted — timing inverted/absurd "
+            f"(one={one:.4f}s many={many:.4f}s); host too contended",
+            file=sys.stderr,
+        )
+
+    # ---- LoRA joint train step (live backbone, flash VJP + remat) ---------
+    # the heaviest training composition the framework ships: pixels ->
+    # LoRA-adapted ViT-B -> decoder loss, grads to adapters AND decoder
+    # (model_cfg.lora.enable).  Its backward is a separate (long) remote
+    # compile — skippable with UCOD_BENCH_FAST=1 like the other extras.
+    from ucod_dpl_tpu.engine.train_step import make_lora_train_step
+    from ucod_dpl_tpu.models.lora import init_lora
+
+    ltcfg = CfgNode(
+        {
+            "model_cfg": {
+                "dim": cfg.hidden_size, "feature_size": 68,
+                "ema_weight": 0.99, "dis_use_features": False,
+                "lora": {"rank": 2, "alpha": 4.0, "remat": True},
+            },
+            "train_cfg": {
+                "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",
+                "lr0": 2e-4, "dis_lr0": 1e-3,
+                "step_lr_gamma": 0.95, "step_lr_size": 25,
+            },
+            "log_cfg": {"log_interval": 50},
+        }
+    )
+    lora_opt = make_optimizer(1e-4, 0.95, 25)
+    lora_params = init_lora(jax.random.PRNGKey(9), backbone, rank=2)
+    lora_opt_state = lora_opt.init(lora_params)
+    lstep = jax.jit(
+        make_lora_train_step(ltcfg, optimizer, lora_opt, cfg, compute_dtype)
+    )
+    lr_batch, lr_img = (2, 126) if tiny else (16, 518)
+    lpixels = jnp.asarray(
+        rng.standard_normal((lr_batch, lr_img, lr_img, 3)).astype(np.float32)
+    )
+    lplabels = jnp.asarray(
+        (rng.random((lr_batch, 37, 37, 1)) > 0.5).astype(np.float32)
+    )
+    lstate = state  # fresh TrainState from the cached-feature bench above
+
+    def run_lora_steps(n):
+        s, lp, lo = lstate, lora_params, lora_opt_state
+        aux = None
+        for _ in range(n):
+            s, lp, lo, aux = lstep(
+                s, lp, lo, backbone, lpixels, lplabels,
+                jnp.float32(1.0), jnp.float32(1.0),
+            )
+        float(aux["loss"])  # sync
+
+    run_lora_steps(1)  # compile + warm (the big backward compile)
+    lr_iters = 4
+    dt, one, many = _min_marginal_rate(
+        lambda: run_lora_steps(1), lambda: run_lora_steps(lr_iters + 1)
+    )
+    if dt > 0 and dt / lr_iters > 1e-3:  # a live-backbone bwd is >> 1ms
+        extras.append(
+            {
+                "metric": "LoRA joint train step (bs16 live 518px backbone)",
+                "value": round(dt / lr_iters * 1e3, 2),
+                "unit": "ms/step",
+            }
+        )
+    else:
+        print(
+            f"bench.py: LoRA-step extra omitted — timing inverted/absurd "
             f"(one={one:.4f}s many={many:.4f}s); host too contended",
             file=sys.stderr,
         )
