@@ -55,7 +55,6 @@ def test_bench_json_contract_tiny_cpu():
     reported = {m["metric"] for m in d["metrics"]}
     for name in EXTRA_NAMES:
         hit = any(name in m for m in reported)
-        noted = "omitted" in r.stderr and name.split(" (")[0].split(" ")[0] in r.stderr
         assert hit or "omitted" in r.stderr, (name, reported, r.stderr[-800:])
     for m in d["metrics"]:
         assert m["value"] > 0 and m["unit"] in ("img/s", "ms/step"), m
