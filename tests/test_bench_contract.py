@@ -14,9 +14,8 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.heavy  # subprocess e2e (~2-4 min on this host)
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 EXTRA_NAMES = (
     "756px feature-cache build",
@@ -25,6 +24,38 @@ EXTRA_NAMES = (
 )
 
 
+def test_peak_tflops_table():
+    """device_kind -> bf16 peak mapping (substring match must not confuse
+    generations: 'TPU v5 lite' is a 197-TFLOP v5e, not a 459-TFLOP v5p)."""
+    from bench import _peak_bf16_tflops
+
+    assert _peak_bf16_tflops("TPU v5 lite") == 197.0
+    assert _peak_bf16_tflops("TPU v5p") == 459.0
+    assert _peak_bf16_tflops("TPU v4") == 275.0
+    assert _peak_bf16_tflops("TPU v3") == 61.4  # per-core device
+    assert _peak_bf16_tflops("TPU v6 lite") == 918.0
+    assert _peak_bf16_tflops("Quantum Chip 9000") is None
+
+
+def test_analytic_flops_key_fold_discount():
+    """The key-folded last layer must be counted as LN1 + a 768->128 matmul,
+    not a full transformer layer (an 8.2% MFU inflation otherwise)."""
+    from bench import _analytic_backbone_flops_per_img
+
+    from ucod_dpl_tpu.models.dino import DinoConfig
+
+    cfg = DinoConfig.dinov2_base()
+    n = (518 // cfg.patch_size) ** 2 + 1
+    d = cfg.hidden_size
+    full = _analytic_backbone_flops_per_img(cfg, 518)
+    folded = _analytic_backbone_flops_per_img(cfg, 518, key_fold_dim=128)
+    per_layer = 24 * n * d * d + 4 * n * n * d
+    assert abs((full - folded) - (per_layer - 2 * n * d * 128)) < 1.0
+    # magnitude sanity: ViT-B@518 is ~0.3 TFLOP/img
+    assert 2.5e11 < folded < full < 3.5e11
+
+
+@pytest.mark.heavy  # subprocess e2e (~1-2 min on this host)
 def test_bench_json_contract_tiny_cpu():
     env = dict(os.environ)
     env.update(
