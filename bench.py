@@ -257,24 +257,27 @@ def measure():
     elif on_tpu and not os.environ.get("UCOD_BENCH_FAST"):
         extras = _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype)
 
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
-                "value": round(imgs_per_sec, 2),
-                "unit": "img/s",
-                "vs_baseline": round(
-                    imgs_per_sec / A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3
-                ),
-                "device_kind": device_kind,
-                "backend": jax.default_backend(),
-                "flops_per_img": flops_per_img,
-                "peak_bf16_tflops": peak,
-                "mfu": round(mfu, 4) if mfu is not None else None,
-                "metrics": extras,
-            }
-        )
-    )
+    out = {
+        "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3),
+        "device_kind": device_kind,
+        "backend": jax.default_backend(),
+        "flops_per_img": flops_per_img,
+        "peak_bf16_tflops": peak,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "metrics": extras,
+    }
+    if tiny_extras:
+        # the metric labels describe the PRODUCTION shapes; a tiny smoke run
+        # measured none of them and must be self-identifying — a driver or
+        # human must never record this line as the round's perf artifact
+        out["tiny_smoke"] = True
+        out["metric"] = "[TINY SMOKE — not a measurement] " + out["metric"]
+        for m in extras:
+            m["metric"] = "[TINY SMOKE] " + m["metric"]
+    print(json.dumps(out))
 
 
 def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):

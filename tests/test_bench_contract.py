@@ -74,6 +74,11 @@ def test_bench_json_contract_tiny_cpu():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in d, d
     assert d["unit"] == "img/s" and d["value"] > 0
+    # a tiny smoke must be self-identifying so its numbers can never be
+    # recorded as the round's perf artifact
+    assert d["tiny_smoke"] is True
+    assert d["metric"].startswith("[TINY SMOKE")
+    assert all(m["metric"].startswith("[TINY SMOKE]") for m in d["metrics"])
 
     # self-certification keys
     assert d["device_kind"] == "cpu" and d["backend"] == "cpu"

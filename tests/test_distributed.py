@@ -65,7 +65,13 @@ def test_two_process_metric_gather(tmp_path):
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=150)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=150)[0] for p in procs]
+    finally:
+        for p in procs:  # never leak hung workers into the session
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-800:]
     assert "OK 0 5" in outs[0]
@@ -114,7 +120,13 @@ def test_maybe_initialize_distributed_bootstraps_two_processes(tmp_path):
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+    finally:
+        for p in procs:  # never leak hung workers into the session
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-1500:]
         assert "OK" in out

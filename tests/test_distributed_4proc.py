@@ -163,7 +163,13 @@ def test_four_process_train_gather_orbax_resume(tmp_path):
         )
         for pid in range(4)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:  # never leak hung workers into the session
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 

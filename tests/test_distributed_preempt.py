@@ -70,6 +70,10 @@ _WORKER = textwrap.dedent(
                 "dis_intertrain": 2, "dis_epoch": 1, "start_epoch": 0,
                 "lr0": 2e-4, "dis_lr0": 1e-3,
                 "step_lr_size": 25, "step_lr_gamma": 0.95,
+                # coordinate at EVERY batch so the injected flag is honored
+                # at exactly batch 3 (the production default of 16 bounds
+                # the per-batch allgather cost; the mechanism is identical)
+                "preempt_poll_interval": 1,
                 "save_cfg": {"start_save": 10_000, "save_interval": 5,
                              "save_mode": "all", "backend": "orbax"},
             },
@@ -221,7 +225,15 @@ def test_one_rank_flag_coordinates_both_ranks(tmp_path):
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        # a hung rank (the exact bug class this test guards) must not leak
+        # workers that hold the coordinator port for the rest of the session
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2500:]
 

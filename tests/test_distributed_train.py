@@ -179,7 +179,13 @@ def test_two_process_training_equivalence(tmp_path):
         )
         for pid in (0, 1)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    finally:
+        for p in procs:  # never leak hung workers into the session
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-1500:]
 

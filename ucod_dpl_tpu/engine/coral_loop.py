@@ -177,14 +177,11 @@ class LocalRefineEvaluator:
         from . import preempt
         from ucod_dpl_tpu.ops.resize import interpolate_bilinear_np
 
-        import jax as _jax
-
-        # see eval_loop.py: no-op outside trainers, and disabled in
-        # multi-process runs (ragged eval shards — a one-rank raise would
-        # strand the other ranks in the final metric allgather)
-        poll = preempt.check if _jax.process_count() == 1 else (lambda: None)
+        # see eval_loop.py: no-op outside trainers; ragged multi-process
+        # shards poll on preempt.GlobalPoll's fixed collective schedule
+        poll = preempt.GlobalPoll(len(runner.val_dataloader))
         for batch in runner.val_dataloader:
-            poll()
+            poll.step()
             labels = batch["label"]
             paths = batch["img_path"]
             l_input = np.asarray(batch["features"], np.float32)
@@ -245,6 +242,7 @@ class LocalRefineEvaluator:
                     )
             progress.update(n)
 
+        poll.finish()  # shorter shards drain the shared poll schedule
         progress.finish()
         stats.sync_across_processes()
         result = stats.get_result()
@@ -332,7 +330,16 @@ class LocalRefineTrainLoop:
             preds = concate_m_patch_preds(preds.reshape(b, 4, 68, 68, 1))
         else:
             preds = self._decoder_fwd(self.runner.decoder_params, l_feat)
-        return l_feat, h_feat, preds
+        # shard the batch dim over the mesh's `data` axis: the jitted step
+        # then runs multi-device DP with GSPMD psum-ing the refiner grads
+        # (ragged batches fall back to replication inside data_sharding)
+        from ucod_dpl_tpu.parallel import data_sharding
+
+        mesh = self.runner.mesh
+        put = lambda x: jax.device_put(  # noqa: E731
+            x, data_sharding(mesh, x.ndim, batch_size=x.shape[0])
+        )
+        return put(l_feat), put(h_feat), put(preds)
 
     def _install_preemption_handler(self):
         """Deferred-flag preemption handling, like the stage-1 loop
@@ -347,9 +354,9 @@ class LocalRefineTrainLoop:
     def _maybe_preempt_exit(self, epoch: int, signum=None) -> None:
         from . import preempt
 
-        # cluster-agreed flag (see train_loop._maybe_preempt_exit): the
-        # refiner steps run in collective lockstep, so a one-rank exit
-        # would strand the other ranks in the next step's grad psum
+        # stage-2 training is single-process (run() refuses pods), so the
+        # local flag suffices; requested_global degrades to it and stays
+        # correct if that restriction is ever lifted
         signum = signum if signum is not None else preempt.requested_global()
         if signum is None:
             return
@@ -365,10 +372,32 @@ class LocalRefineTrainLoop:
 
     def run(self) -> None:
         runner = self.runner
+        if jax.process_count() > 1:
+            # the stage-2 step has no cross-PROCESS gradient sync (the
+            # loaders are per-rank; ranks would silently train divergent
+            # replicas and race last-writer-wins on the same checkpoint
+            # path).  The full 25-epoch stage-2 schedule is ~1 min of
+            # device time — run it on ONE host (multi-DEVICE DP below
+            # still applies) rather than silently corrupting a pod run.
+            raise NotImplementedError(
+                "stage-2 (CORAL) training is single-process: run it on one "
+                "host (its full schedule is minutes of device time; the "
+                "batch still shards over all local devices) — multi-process "
+                "ranks would train divergent refiners"
+            )
         self._install_preemption_handler()
-        # refiner-only parameters are trained; num_heads is static metadata
-        trainable = {k: v for k, v in runner.refiner_params.items() if k != "num_heads"}
-        opt_state = self.optimizer.init(trainable)
+        from ucod_dpl_tpu.parallel import replicate
+
+        # refiner-only parameters are trained; num_heads is static metadata.
+        # Params/optimizer replicate over the mesh; _prepare shards batches
+        # over the `data` axis, so the jitted step runs data-parallel with
+        # GSPMD inserting the gradient psum (same design as stage 1).
+        repl = replicate(runner.mesh)
+        trainable = jax.device_put(
+            {k: v for k, v in runner.refiner_params.items() if k != "num_heads"},
+            repl,
+        )
+        opt_state = jax.device_put(self.optimizer.init(trainable), repl)
         # EMA refiner: the config's ema_weight=0.70 / start_ema=1 belong to
         # the unreleased reference trainer; we track an EMA copy from epoch
         # `start_ema` with the stage-1 alpha-ramp semantics

@@ -351,27 +351,25 @@ class LookTwiceEvaluator:
         from . import preempt
 
         try:
-            import jax as _jax
-
             # cooperative preemption poll: when the stage-1 trainer runs
             # this validation, a SIGTERM mid-val must not wait out the
-            # whole sweep (the trainer catches Preempted and checkpoints).
-            # A no-op in standalone eval CLIs (handler never installed) and
-            # in MULTI-process runs: eval shards are ragged, so ranks poll
-            # different counts and a per-batch raise on one rank would
-            # strand the others in the final metric allgather — a pod run
-            # instead honours the flag at the next train boundary
-            # (train_loop polls the cluster-agreed flag in lockstep).
-            poll = preempt.check if _jax.process_count() == 1 else (lambda: None)
+            # whole sweep (the trainer catches Preempted and checkpoints;
+            # no-op in standalone eval CLIs, which never install the
+            # handler).  Eval shards are RAGGED across processes, so the
+            # multi-process poll follows preempt.GlobalPoll's fixed
+            # collective schedule — every rank observes the cluster-agreed
+            # flag at the same round and either all raise or none does.
+            poll = preempt.GlobalPoll(len(self.runner.val_dataloader))
             pending = None
             for batch in self.runner.val_dataloader:
-                poll()
+                poll.step()
                 dev = dispatch(batch)
                 if pending is not None:
                     process(pending)
                 pending = (dev, batch)
             if pending is not None:
                 process(pending)
+            poll.finish()  # shorter shards drain the shared poll schedule
             progress.finish()
 
             for fut in io_futures:

@@ -94,6 +94,65 @@ def check() -> None:
         raise Preempted(_signum)
 
 
+class GlobalPoll:
+    """Collective-consistent preemption polling for RAGGED per-rank loops
+    (the eval sweeps: per-rank batch counts differ).
+
+    A naive per-batch :func:`check` is unsound in multi-process runs — a
+    one-rank raise strands the other ranks in the final metric allgather —
+    but *disabling* polling would let a minutes-long validation swallow the
+    platform's grace period.  This polls the CLUSTER-agreed flag on a fixed
+    schedule every rank executes identically: ``ceil(max_rank_count /
+    every)`` allgather rounds, fired every ``every`` local batches during
+    iteration and drained in :meth:`finish` by ranks with fewer batches.
+    All ranks observe the flag at the same round index, so either every
+    rank raises :class:`Preempted` (the trainer catches it and runs the
+    collective checkpoint in lockstep) or none does.
+
+    Single-process: plain per-batch :func:`check` (no collectives, raise at
+    the first polled batch — the behavior the bitwise preemption tests pin).
+    """
+
+    def __init__(self, local_batches: int, every: int = 8):
+        import jax
+
+        self.single = jax.process_count() == 1
+        self.every = max(int(every), 1)
+        self.i = 0
+        self.rounds_done = 0
+        if self.single:
+            self.rounds_total = 0
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(np.int32(local_batches))
+        self.rounds_total = -(-int(np.max(counts)) // self.every)  # ceil
+
+    def _round(self) -> None:
+        self.rounds_done += 1
+        s = requested_global()
+        if s is not None:
+            raise Preempted(s)
+
+    def step(self) -> None:
+        """Call once per local batch (before or after processing it)."""
+        if self.single:
+            check()
+            return
+        self.i += 1
+        if self.i % self.every == 0 and self.rounds_done < self.rounds_total:
+            self._round()
+
+    def finish(self) -> None:
+        """Drain the remaining collective rounds after the local loop ends —
+        ranks with shorter shards keep participating so the schedule stays
+        identical on every rank.  Call BEFORE any end-of-sweep collective
+        (the metric allgather)."""
+        while not self.single and self.rounds_done < self.rounds_total:
+            self._round()
+
+
 def clear() -> None:
     global _signum
     _signum = None
