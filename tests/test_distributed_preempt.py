@@ -203,6 +203,83 @@ _WORKER = textwrap.dedent(
 ).replace("__REPO__", REPO)
 
 
+_EVAL_WORKER = textwrap.dedent(
+    '''
+    import os, signal, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid, root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:" + port, num_processes=2, process_id=pid
+    )
+    sys.path.insert(0, "__REPO__")
+    sys.path.insert(0, "__REPO__/tests")
+
+    import numpy as np
+
+    from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg
+    from ucod_dpl_tpu.engine import Runner, preempt
+    from ucod_dpl_tpu.parallel.distributed import barrier
+
+    from pathlib import Path
+
+    if pid == 0:
+        _make_synthetic_dataset(Path(root) / "RefCOD", n=5)
+    barrier("dataset-ready")
+    cfg = _tiny_cfg(Path(root))
+    cfg.log_cfg.multi_rank = [0, 1]
+    cfg.val_cfg.metric_workers = 0  # keep the scorer in-process per rank
+    runner = Runner(cfg, mode="eval")
+
+    # the flag exists on RANK 0 ONLY; rank 1 must learn of it through
+    # GlobalPoll's collective schedule and raise at the same round —
+    # otherwise rank 1 would run to the final metric allgather and hang
+    preempt.install()
+    if pid == 0:
+        preempt._signum = signal.SIGTERM
+    got = None
+    try:
+        runner.launch_val_look_twice()
+    except preempt.Preempted as e:
+        got = e.signum
+    assert got == signal.SIGTERM, (pid, got)
+    print("PREEMPTED-TOGETHER", pid)
+    '''
+).replace("__REPO__", REPO)
+
+
+def test_eval_globalpoll_raises_on_both_ranks(tmp_path):
+    """A mid-eval preemption flag on one rank must surface as Preempted on
+    EVERY rank (preempt.GlobalPoll) — not strand the flagless rank in the
+    final metric allgather until the platform SIGKILLs the pod."""
+    worker = tmp_path / "eval_worker.py"
+    worker.write_text(_EVAL_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:  # never leak hung workers into the session
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2500:]
+        assert "PREEMPTED-TOGETHER" in out
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
