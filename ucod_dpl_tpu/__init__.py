@@ -10,7 +10,7 @@ path, GSPMD sharding over device meshes, and host-side NumPy only where the
 algorithm is inherently sequential (connected components, streaming metrics).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 
 def __getattr__(name):

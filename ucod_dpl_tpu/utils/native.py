@@ -15,7 +15,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+# pip-installed deployments (no repo checkout above the package) point this
+# at a copy of native/*.cpp; unset, sources resolve inside the checkout, and
+# when neither exists every native entry point degrades to its pure-Python
+# fallback (same outputs, slower host path)
+_NATIVE_DIR = os.environ.get("UCOD_NATIVE_SRC_DIR") or os.path.join(_REPO_ROOT, "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libcclabel.so")
 _SRC_PATH = os.path.join(_NATIVE_DIR, "cc_label.cpp")
 
