@@ -583,6 +583,32 @@ def main():
         "clients mid-remote-compile, then re-run bench.py.",
         file=sys.stderr,
     )
+    # Still emit ONE machine-readable line so the round artifact records
+    # WHAT failed and what the last driver-verified measurement was,
+    # instead of only a traceback.  value=null is unambiguous: this is an
+    # environment failure, NOT a measurement (the exit code stays nonzero).
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
+                "value": None,
+                "unit": "img/s",
+                "vs_baseline": None,
+                "error": (
+                    f"TPU tunnel wedged: backend discovery failed in all "
+                    f"{ATTEMPTS} child attempts (watchdog "
+                    f"{DISCOVERY_WATCHDOG_S:.0f}s each); remote terminal "
+                    "fault — needs infra-side restart"
+                ),
+                "last_verified_on_chip": {
+                    "artifact": "BENCH_r02.json",
+                    "value": 515.39,
+                    "unit": "img/s",
+                    "vs_baseline": 5.154,
+                },
+            }
+        )
+    )
     sys.exit(last_rc)
 
 

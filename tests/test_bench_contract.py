@@ -55,6 +55,44 @@ def test_analytic_flops_key_fold_discount():
     assert 2.5e11 < folded < full < 3.5e11
 
 
+def test_bench_wedge_failure_emits_machine_readable_line(monkeypatch, capsys):
+    """When every attempt hits the discovery watchdog (persistent tunnel
+    wedge), the parent must still print ONE JSON line — value=null, an
+    explicit error, and the last driver-verified number — so the round's
+    BENCH artifact records context instead of only a traceback.  The exit
+    code stays nonzero (this is an environment failure, not a measurement)."""
+    import bench
+
+    class FakeWedgedChild:
+        """A child that immediately exits 3 (discovery-watchdog path)."""
+
+        returncode = 3
+
+        def poll(self):
+            return 3
+
+        def communicate(self, timeout=None):
+            return ("", None)
+
+    monkeypatch.setattr(bench.subprocess, "Popen", lambda *a, **k: FakeWedgedChild())
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)  # skip backoffs
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.delenv("UCOD_BENCH_NO_RETRY", raising=False)
+
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 3
+
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out  # ONE JSON line — the driver contract
+    d = json.loads(lines[0])
+    assert d["value"] is None and d["vs_baseline"] is None
+    assert "wedged" in d["error"]
+    assert d["last_verified_on_chip"]["value"] == 515.39
+    assert d["unit"] == "img/s"
+
+
 @pytest.mark.heavy  # subprocess e2e (~1-2 min on this host)
 def test_bench_json_contract_tiny_cpu():
     env = dict(os.environ)
