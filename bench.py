@@ -281,13 +281,15 @@ def measure():
 
 
 def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
-    """The other two hot paths (VERDICT r3 #4 / SURVEY §3.5):
+    """The non-headline hot paths (VERDICT r3 #4 / SURVEY §3.5):
 
     * 756px feature-cache build — the throughput-dominant ONE-TIME stage
       (stage-2 LR dataset, ``data/dataset.py:350-352``): full unfolded
       forward materialising the (54, 54, 768) key-feature map;
     * stage-1 train step (cached features, shipped config shapes:
-      bs16, 37x37 features -> 68 grid, ``loop_UCOD_DPL.py:148-184``).
+      bs16, 37x37 features -> 68 grid, ``loop_UCOD_DPL.py:148-184``);
+    * LoRA joint train step (the heaviest training composition);
+    * int8 W8A8 serving eval (the opt-in quantized path, ops/quant.py).
     """
     from ucod_dpl_tpu.engine.train_step import (
         TrainState,
@@ -483,6 +485,56 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
     else:
         print(
             f"bench.py: LoRA-step extra omitted — timing inverted/absurd "
+            f"(one={one:.4f}s many={many:.4f}s); host too contended",
+            file=sys.stderr,
+        )
+
+    # ---- int8 W8A8 serving eval --------------------------------------------
+    # the opt-in quantized serving path (ops/quant.py): the SAME 518px live
+    # composition as the primary metric, with every transformer linear in
+    # the MXU's 2x int8 mode (v5e: 394 TOPS vs 197 bf16 TFLOPS).  Reported
+    # as an extra — the headline stays the bf16 parity composition.
+    from ucod_dpl_tpu.models.dba import fg_logits_live
+    from ucod_dpl_tpu.models.dba import init_rev_decoder as _init_dec
+    from ucod_dpl_tpu.ops.quant import quantize_dino_linears
+    from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
+
+    q_batch, q_img = (2, 126) if tiny else (32, 518)
+    qparams = jax.jit(quantize_dino_linears)(backbone)
+    q_decoder = _init_dec(jax.random.PRNGKey(11), cfg.hidden_size)
+
+    @jax.jit
+    def int8_many(params, qp, dec_params, pixels, n):
+        def body(i, acc):
+            fg, _, _ = fg_logits_live(
+                params, dec_params, pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
+                cfg, compute_dtype=compute_dtype, size=68, quant=qp,
+            )
+            up = interpolate_bilinear_nhwc(fg, (q_img, q_img))[..., 0]
+            return acc + jnp.sum((jax.nn.sigmoid(up) > 0.5).astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    q_pixels = jnp.asarray(
+        rng.standard_normal((q_batch, q_img, q_img, 3)).astype(np.float32)
+    )
+    q_iters = 8
+    int(int8_many(backbone, qparams, q_decoder, q_pixels, 1))  # compile + warm
+    dt, one, many = _min_marginal_rate(
+        lambda: int(int8_many(backbone, qparams, q_decoder, q_pixels, 1)),
+        lambda: int(int8_many(backbone, qparams, q_decoder, q_pixels, q_iters + 1)),
+    )
+    if dt > 0 and q_batch * q_iters / dt < 50_000:
+        extras.append(
+            {
+                "metric": "518px eval, int8 W8A8 backbone (opt-in serving path)",
+                "value": round(q_batch * q_iters / dt, 2),
+                "unit": "img/s",
+            }
+        )
+    else:
+        print(
+            f"bench.py: int8 extra omitted — timing inverted/absurd "
             f"(one={one:.4f}s many={many:.4f}s); host too contended",
             file=sys.stderr,
         )

@@ -21,6 +21,7 @@ EXTRA_NAMES = (
     "756px feature-cache build",
     "stage-1 train step",
     "LoRA joint train step",
+    "int8 W8A8 backbone",
 )
 
 

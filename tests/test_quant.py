@@ -1,0 +1,158 @@
+"""Int8 W8A8 inference path (ops/quant.py): mechanism accuracy vs the
+full-precision forward, and the serving opt-in.
+
+Quality on the real checkpoints is unmeasurable until the environment
+ships backbone weights (same status as scripts/parity.py); these tests pin
+the MECHANISM — quantization error bounds, end-to-end logit agreement on
+random-init models, and that the default path is byte-identical with
+quant=None.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ucod_dpl_tpu.models.dba import fg_logits_live, init_rev_decoder
+from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
+from ucod_dpl_tpu.ops.quant import dense_w8a8, quantize_dino_linears, quantize_linear
+
+TINY = dataclasses.replace(
+    DinoConfig.dinov2_base(), image_size=56, num_layers=2
+)
+
+
+def _tiny_model(seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    params = init_dino(k1, TINY)
+    decoder = init_rev_decoder(k2, TINY.hidden_size)
+    return params, decoder
+
+
+def test_quantize_linear_roundtrip_bound():
+    """Dequantized weights must sit within the symmetric per-column step."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    qp = quantize_linear({"w": w, "b": b})
+    assert qp["w_q"].dtype == jnp.int8
+    deq = qp["w_q"].astype(jnp.float32) * qp["w_s"]
+    step = np.asarray(qp["w_s"])  # per-column quantization step
+    assert np.all(np.abs(np.asarray(deq - w)) <= step / 2 + 1e-7)
+    np.testing.assert_array_equal(np.asarray(qp["b"]), np.asarray(b))
+
+
+def test_dense_w8a8_matches_f32_dense():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 64, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32)) * 0.05
+    b = jnp.asarray(rng.standard_normal(128).astype(np.float32)) * 0.1
+    exact = x @ w + b
+    q = dense_w8a8(x, quantize_linear({"w": w, "b": b}), jnp.float32)
+    rel = float(jnp.linalg.norm(q - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.02, rel  # W8A8 per-token/per-channel ~0.5% on gaussians
+
+
+def test_dense_w8a8_extreme_scale_invariance():
+    """Per-token dynamic scales must absorb large per-row magnitude spread
+    (the reason per-tensor activation quant is not used)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+    x = x * jnp.logspace(-3, 3, 8)[:, None]  # 6 decades across rows
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32))
+    b = jnp.zeros((64,), jnp.float32)
+    exact = x @ w + b
+    q = dense_w8a8(x, quantize_linear({"w": w, "b": b}), jnp.float32)
+    # per-ROW relative error: every row must be quantized well, not just
+    # the dominant one
+    row_rel = np.asarray(
+        jnp.linalg.norm(q - exact, axis=-1) / jnp.linalg.norm(exact, axis=-1)
+    )
+    assert row_rel.max() < 0.02, row_rel
+
+
+def test_dino_forward_int8_agreement():
+    """End-to-end tiny-ViT forward: int8 key features must track f32."""
+    params, _ = _tiny_model()
+    rng = np.random.default_rng(3)
+    pixels = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
+    ref = dino_forward(params, pixels, TINY)["key_features"]
+    qparams = quantize_dino_linears(params)
+    got = dino_forward(params, pixels, TINY, quant=qparams)["key_features"]
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    cos = float(
+        jnp.vdot(got, ref) / (jnp.linalg.norm(got) * jnp.linalg.norm(ref))
+    )
+    assert rel < 0.05, rel
+    assert cos > 0.995, cos
+
+
+def test_fg_logits_live_int8_agreement():
+    """The quantized live composition (key-fold + decoder) tracks f32 —
+    logits correlate and the thresholded masks substantially agree."""
+    params, decoder = _tiny_model(seed=7)
+    rng = np.random.default_rng(4)
+    pixels = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
+    ref, _, _ = fg_logits_live(
+        params, decoder, pixels, TINY, compute_dtype=jnp.float32, size=8
+    )
+    qparams = quantize_dino_linears(params)
+    got, _, _ = fg_logits_live(
+        params, decoder, pixels, TINY, compute_dtype=jnp.float32, size=8,
+        quant=qparams,
+    )
+    ref, got = np.asarray(ref), np.asarray(got)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.99, corr
+    agree = np.mean((ref > 0) == (got > 0))
+    assert agree > 0.9, agree
+
+
+def test_quant_guards():
+    """Parity-critical compositions must refuse the int8 path."""
+    params, _ = _tiny_model()
+    qparams = quantize_dino_linears(params)
+    pixels = jnp.zeros((1, 56, 56, 3), jnp.float32)
+    with pytest.raises(AssertionError, match="parity"):
+        dino_forward(params, pixels, TINY, quant=qparams, want_cls_attention=True)
+
+
+def test_predictor_int8_smoke():
+    """Serving opt-in: quantize='int8' produces valid masks that mostly
+    agree with the f32 predictor on the same inputs."""
+    from ucod_dpl_tpu.config import CfgNode
+    from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+    from ucod_dpl_tpu.serving import Predictor
+
+    fe = FeatureExtractor(
+        CfgNode(
+            {
+                "type": "dinov2",
+                "backbone": "facebook/dinov2-base",
+                "backbone_weights": "none",
+                "arch": {
+                    "hidden_size": 64, "num_layers": 2, "num_heads": 4,
+                    "patch_size": 14, "image_size": 56,
+                },
+            }
+        )
+    )
+    decoder = init_rev_decoder(jax.random.PRNGKey(0), 64)
+    kw = dict(image_size=(56, 56), feature_size=8, max_batch=4)
+    p32 = Predictor(fe, decoder, **kw)
+    p8 = Predictor(fe, decoder, quantize="int8", **kw)
+
+    rng = np.random.default_rng(5)
+    imgs = [(rng.random((60, 70, 3)) * 255).astype(np.uint8) for _ in range(3)]
+    m32 = p32.predict(imgs)
+    m8 = p8.predict(imgs)
+    for a, b in zip(m32, m8):
+        assert b.shape == (56, 56)
+        assert set(np.unique(b)).issubset({0.0, 1.0})
+        assert np.mean(a == b) > 0.9, np.mean(a == b)
+
+    with pytest.raises(ValueError, match="int8"):
+        Predictor(fe, decoder, quantize="int4", **kw)

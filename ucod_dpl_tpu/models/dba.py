@@ -166,6 +166,7 @@ def fg_logits_live(
     *,
     compute_dtype,
     size: int | None = None,
+    quant=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """pixels -> decoder logits via the folded live-inference path.
 
@@ -173,13 +174,17 @@ def fg_logits_live(
     pre-composed into the last layer's key projection), then the decoder
     body at ``size`` (``None`` = the native patch grid).  This is the hot
     composition of bench.py / serving / the LookTwice crop pass; cache-fed
-    paths keep the unfused decoder (cached features are raw 768-dim keys)."""
+    paths keep the unfused decoder (cached features are raw 768-dim keys).
+
+    ``quant``: optional int8 pytree (``ops/quant.py::quantize_dino_linears``)
+    — the opt-in W8A8 serving path; the decoder body stays f32."""
     from ucod_dpl_tpu.models.dino import dino_forward
 
     last_k = backbone_params["layers"][-1]["k"]
     fold = key_decoupling_fold(last_k["w"], last_k["b"], params)
     out = dino_forward(
-        backbone_params, pixels, dino_cfg, compute_dtype=compute_dtype, key_fold=fold
+        backbone_params, pixels, dino_cfg, compute_dtype=compute_dtype,
+        key_fold=fold, quant=quant,
     )
     return rev_decoder_forward_decoupled(params, out["folded_features"], size)
 

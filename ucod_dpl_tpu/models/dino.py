@@ -335,6 +335,7 @@ def dino_forward(
     remat: bool = False,
     tp_shard: Optional[tuple] = None,  # (Mesh, axis): heads sharded over axis
     key_fold: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    quant: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the ViT and return the reference hook contract.
 
@@ -353,6 +354,13 @@ def dino_forward(
         768->F matmul instead of a 768->768 projection + f32 materialised
         key map + separate decoupling matmul.  Mutually exclusive with
         ``want_cls_attention`` (which needs the last layer's full q/k).
+      quant: optional pytree from :func:`ucod_dpl_tpu.ops.quant.
+        quantize_dino_linears` — routes every transformer-layer linear
+        (q/k/v/out/fc1/fc2, and the key_fold matmul) through the int8
+        W8A8 MXU path.  Opt-in inference-only path (serving/bench);
+        incompatible with ``tp_shard`` (GSPMD-sharded weights) and with
+        ``want_cls_attention`` (pseudo-label generation is a bitwise
+        parity contract).
 
     Returns dict with:
       key_features: (B, h, w, hidden) last block's key projection, CLS
@@ -367,6 +375,13 @@ def dino_forward(
         "key_fold skips the last layer's q projection; CLS attention "
         "requires the unfolded forward"
     )
+    if quant is not None:
+        assert tp_shard is None, "int8 path is single-chip (weights are GSPMD-sharded under TP)"
+        assert not want_cls_attention, (
+            "pseudo-label generation is a bitwise parity contract; "
+            "run it on the full-precision forward"
+        )
+        from ucod_dpl_tpu.ops.quant import dense_w8a8, quantize_linear
     b, img_h, img_w, _ = pixels.shape
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
     dtype = compute_dtype
@@ -431,7 +446,14 @@ def dino_forward(
         # feature-extraction programs (which consume only this layer's k)
         # could no longer dead-code-eliminate its q/v projections, attention
         # and MLP — that DCE is worth more than the fusion.
-        if tp_shard is None and not is_last:
+        if "_q8" in layer:
+            # int8 W8A8 path: LN stays f32, the three projections take the
+            # int8 MXU mode (the fused LN+qkv kernel is bf16-only)
+            h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
+            q = dense_w8a8(h, layer["_q8"]["q"], dtype)
+            k = dense_w8a8(h, layer["_q8"]["k"], dtype)
+            v = dense_w8a8(h, layer["_q8"]["v"], dtype)
+        elif tp_shard is None and not is_last:
             q, k, v = layernorm_qkv(
                 x, layer["norm1"], layer["q"], layer["k"], layer["v"],
                 cfg.layer_norm_eps,
@@ -463,7 +485,10 @@ def dino_forward(
             )
         else:
             attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)
-        attn = _dense(attn, layer["out"], dtype)
+        if "_q8" in layer:
+            attn = dense_w8a8(attn, layer["_q8"]["out"], dtype)
+        else:
+            attn = _dense(attn, layer["out"], dtype)
         if cfg.use_layerscale:
             attn = attn * layer["ls1"].astype(dtype)
         x = x + attn
@@ -474,7 +499,10 @@ def dino_forward(
         # preceding ls1-scale + residual add into ln2's consumer, and the
         # kernel boundary forces that chain to materialise.  Unfused here.
         h2 = _layernorm(x, layer["norm2"], cfg.layer_norm_eps)
-        h2 = _dense(h2, layer["fc1"], dtype)
+        if "_q8" in layer:
+            h2 = dense_w8a8(h2, layer["_q8"]["fc1"], dtype)
+        else:
+            h2 = _dense(h2, layer["fc1"], dtype)
         if dtype == jnp.bfloat16:
             # tanh-approx GELU in bf16: the exact-erf/f32 variant costs ~10x
             # (1.0ms vs 0.1ms per layer at bs16@518px) for a ~1e-3 activation
@@ -483,7 +511,10 @@ def dino_forward(
             h2 = jax.nn.gelu(h2, approximate=True)
         else:
             h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=False).astype(dtype)
-        h2 = _dense(h2, layer["fc2"], dtype)
+        if "_q8" in layer:
+            h2 = dense_w8a8(h2, layer["_q8"]["fc2"], dtype)
+        else:
+            h2 = _dense(h2, layer["fc2"], dtype)
         if cfg.use_layerscale:
             h2 = h2 * layer["ls2"].astype(dtype)
         return x + h2, aux
@@ -494,12 +525,21 @@ def dino_forward(
 
     for i, layer in enumerate(params["layers"]):
         is_last = i == n_layers - 1
+        if quant is not None:
+            layer = {**layer, "_q8": quant["layers"][i]}
         if is_last and key_fold is not None:
             h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
             fw, fb = key_fold
-            # mirror _dense's accumulation contract: f32 accumulation in the
-            # f32 parity path (default TPU f32 matmuls drop to bf16 passes)
-            folded = _dense(h, {"w": fw, "b": fb}, dtype)
+            if quant is not None:
+                # the fold weight is data-dependent (key proj x decoder
+                # decoupling), so it is quantized in-graph — a 768xF
+                # column sweep, noise next to the forward it replaces
+                folded = dense_w8a8(h, quantize_linear({"w": fw, "b": fb}), dtype)
+            else:
+                # mirror _dense's accumulation contract: f32 accumulation in
+                # the f32 parity path (default TPU f32 matmuls drop to bf16
+                # passes)
+                folded = _dense(h, {"w": fw, "b": fb}, dtype)
             out["folded_features"] = folded[:, 1:, :].reshape(b, gh, gw, fw.shape[-1])
             return out
         x, aux = run_layer(x, layer, is_last)

@@ -42,6 +42,7 @@ class Predictor:
         max_batch: int = 16,
         look_twice_th: float = 0.15,
         expand_type: str = "dynamic",
+        quantize: Optional[str] = None,
     ):
         self.fe = feature_extractor
         self.decoder_params = decoder_params
@@ -51,32 +52,44 @@ class Predictor:
         self.look_twice_th = look_twice_th
         self.expand_type = expand_type
 
+        # opt-in int8 W8A8 backbone (ops/quant.py): the transformer linears
+        # take the MXU's 2x int8 mode; quantized ONCE here, passed alongside
+        # the full params (norms/embeddings still read from those)
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
+        self._qparams = None
+        if quantize == "int8":
+            from ucod_dpl_tpu.ops.quant import quantize_dino_linears
+
+            self._qparams = jax.jit(quantize_dino_linears)(feature_extractor.params)
+
         fs = self.feature_size
 
         @jax.jit
-        def pixels_to_probs(backbone_params, decoder_params, pixels):
+        def pixels_to_probs(backbone_params, decoder_params, pixels, qparams):
             # key-fold fast path: decoupling folded into the last layer's
             # key projection (models/dba.py::fg_logits_live)
             fg, _, _ = fg_logits_live(
                 backbone_params, decoder_params, pixels, self.fe.config,
-                compute_dtype=self.fe.compute_dtype, size=fs,
+                compute_dtype=self.fe.compute_dtype, size=fs, quant=qparams,
             )
             up = interpolate_bilinear_nhwc(fg, self.image_size)[..., 0]
             return jax.nn.sigmoid(up)
 
         @jax.jit
-        def pixels_to_mask(backbone_params, decoder_params, pixels):
-            return (pixels_to_probs(backbone_params, decoder_params, pixels) > 0.5).astype(
-                jnp.uint8
-            )
+        def pixels_to_mask(backbone_params, decoder_params, pixels, qparams):
+            return (
+                pixels_to_probs(backbone_params, decoder_params, pixels, qparams) > 0.5
+            ).astype(jnp.uint8)
 
         @jax.jit
-        def crop_pass(backbone_params, decoder_params, pixels):
+        def crop_pass(backbone_params, decoder_params, pixels, qparams):
             # LookTwice second pass: masks at the crop's key-feature
             # resolution, matching the eval loop (loop_UCOD_DPL.py:343-348)
             fg, _, _ = fg_logits_live(
                 backbone_params, decoder_params, pixels, self.fe.config,
-                compute_dtype=self.fe.compute_dtype,
+                compute_dtype=self.fe.compute_dtype, quant=qparams,
             )
             return (jax.nn.sigmoid(fg[..., 0]) > 0.5).astype(jnp.float32)
 
@@ -91,9 +104,12 @@ class Predictor:
         checkpoint: str,
         max_batch: int = 16,
         strict: bool = True,
+        quantize: Optional[str] = None,
     ) -> "Predictor":
         """``strict=True`` (default): missing backbone weights raise instead
-        of silently serving random-init features."""
+        of silently serving random-init features.  ``quantize="int8"``:
+        int8 W8A8 backbone (2x MXU rate; see ops/quant.py for the accuracy
+        contract)."""
         from ucod_dpl_tpu.config import load_config
 
         cfg = load_config(config_path)
@@ -107,6 +123,7 @@ class Predictor:
             max_batch=max_batch,
             look_twice_th=cfg.val_cfg.get("look_twice_th", 0.15),
             expand_type=cfg.val_cfg.get("expand_type", "dynamic"),
+            quantize=quantize,
         )
 
     def _bucket(self, n: int) -> int:
@@ -168,7 +185,9 @@ class Predictor:
             from ucod_dpl_tpu.engine.eval_loop import find_refine_bboxes, refine_with_crops
 
             def crop_fn(batch):
-                return self._crop_pass(self.fe.params, self.decoder_params, batch)
+                return self._crop_pass(
+                    self.fe.params, self.decoder_params, batch, self._qparams
+                )
 
         masks: List[np.ndarray] = []
         i = 0
@@ -194,7 +213,9 @@ class Predictor:
                         f"shape {np.shape(a)}"
                     )
                 batch[j] = a
-            out = np.asarray(program(self.fe.params, self.decoder_params, batch))[:take]
+            out = np.asarray(
+                program(self.fe.params, self.decoder_params, batch, self._qparams)
+            )[:take]
             chunk = [m.astype(np.float32) for m in out]
             if look_twice:
                 for k, (mask, img) in enumerate(zip(chunk, originals)):
