@@ -28,7 +28,12 @@ XLA tile padding):
      were validated only by microbench runs referenced in comments
      (ops/attention.py:191-203, 473-497).  TPU-only (skipped elsewhere:
      interpret-mode at 2917 tokens is minutes-slow and exercises no
-     hardware law).
+     hardware law);
+  9. the int8 W8A8 serving path (round 7, ops/quant.py): the quantized
+     live composition executes on this backend's int8 matmul lowering,
+     stays finite, and its logits correlate with the full-precision
+     path — the MXU's int8 mode is a different hardware unit
+     configuration than anything the bf16 checks exercise.
 
 Exit code 0 = all checks pass.  ~3-4 min on a fresh process (compiles);
 seconds when the compile cache is warm.
@@ -365,6 +370,29 @@ def main() -> int:
                 "756px attention laws (fwd q-block + bwd fallback)", False,
                 f"raised: {type(e).__name__}: {e}",
             )
+
+    # 9. int8 W8A8 serving path: quantized live composition vs check 3's
+    # full-precision logits (``fg`` above) — exercises the int8 matmul
+    # lowering this backend actually ships
+    try:
+        from ucod_dpl_tpu.ops.quant import quantize_dino_linears
+
+        qparams = jax.jit(quantize_dino_linears)(backbone)
+        fg8, _, _ = jax.jit(
+            lambda bb, qp, dec, x: fg_logits_live(
+                bb, dec, x, cfg, compute_dtype=dtype, size=68, quant=qp
+            )
+        )(backbone, qparams, decoder, px)
+        fg8 = np.asarray(fg8, np.float32)
+        corr = float(np.corrcoef(fg8.ravel(), fg.ravel().astype(np.float32))[0, 1])
+        check(
+            "int8 W8A8 live path finite + tracks full precision",
+            bool(np.isfinite(fg8).all()) and corr > 0.98,
+            f"corr={corr:.4f} max|fg8|={np.abs(fg8).max():.2f}",
+        )
+    except Exception as e:  # noqa: BLE001
+        check("int8 W8A8 live path finite + tracks full precision", False,
+              f"raised: {type(e).__name__}: {e}")
 
     print("SELF-CHECK:", "OK" if not failures else f"FAILED ({failures})")
     return 0 if not failures else 1
