@@ -113,6 +113,35 @@ def test_eval_end_to_end(tmp_path):
     assert np.isclose(result["MAE"], result2["MAE"])  # deterministic
 
 
+def test_runner_load_latest_checkpoint(tmp_path):
+    """save_checkpoint -> load_latest_checkpoint roundtrip: the newest
+    epoch file wins and the decoder params are restored exactly."""
+    import time
+
+    import jax
+
+    _make_synthetic_dataset(tmp_path / "RefCOD")
+    runner = Runner(_tiny_cfg(tmp_path), mode="eval")
+
+    runner.save_checkpoint(1)
+    time.sleep(0.05)  # distinct mtimes: discovery is newest-by-mtime
+    saved = jax.tree.map(np.asarray, runner.decoder_params)
+    p2 = runner.save_checkpoint(2)
+
+    # perturb in-memory params, then restore
+    runner.decoder_params = jax.tree.map(lambda a: a + 1.0, runner.decoder_params)
+    loaded_path = runner.load_latest_checkpoint()
+    assert loaded_path == p2
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(runner.decoder_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # empty dir -> None, params untouched
+    empty = Runner(_tiny_cfg(tmp_path), mode="eval")
+    for f in os.listdir(empty.ckp_dir):
+        os.unlink(os.path.join(empty.ckp_dir, f))
+    assert empty.load_latest_checkpoint() is None
+
+
 def test_eval_batched_matches_bs1(tmp_path):
     """Batched first pass must reproduce the bs=1 metrics exactly."""
     _make_synthetic_dataset(tmp_path / "RefCOD")

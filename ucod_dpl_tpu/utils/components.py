@@ -8,7 +8,7 @@ never depends on (it only uses per-component areas and bounding boxes).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy import ndimage
@@ -51,11 +51,3 @@ def bounding_rect(binary: np.ndarray) -> Tuple[int, int, int, int]:
     return x0, y0, x1 - x0 + 1, y1 - y0 + 1
 
 
-def component_stats(labels: np.ndarray, num: int) -> List[dict]:
-    """Per-component area and bbox, akin to cv2.connectedComponentsWithStats."""
-    out = []
-    for i in range(1, num + 1):
-        comp = labels == i
-        x, y, w, h = bounding_rect(comp)
-        out.append({"label": i, "area": int(comp.sum()), "bbox": (x, y, w, h)})
-    return out
