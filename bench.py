@@ -18,9 +18,10 @@ Self-certifying extras:
   flops_per_img / mfu — analytic backbone FLOPs for the measured
     composition and achieved fraction of the chip's bf16 peak (the honest
     absolute; ``vs_baseline`` keeps the caveated assumed-A100 ratio);
-  metrics — the other two hot paths (SURVEY §3.5): the one-time 756px
-    feature-cache build (img/s) and the stage-1 train step (ms/step),
-    skippable with UCOD_BENCH_FAST=1.
+  metrics — the non-headline hot paths (SURVEY §3.5), skippable with
+    UCOD_BENCH_FAST=1: the one-time 756px feature-cache build (img/s),
+    the stage-1 train step (ms/step), the LoRA joint train step
+    (ms/step), and the opt-in int8 W8A8 serving eval (img/s).
 
 Wedge resilience: the measurement runs in a CHILD process.  Backend
 discovery over the axon tunnel can hang indefinitely on a stale remote
@@ -64,6 +65,67 @@ ATTEMPTS = 3
 POST_DISCOVERY_BUDGET_S = 3000.0
 DISCOVERY_GRACE_S = 330.0  # child watchdog (300s) + margin; child self-exits
 BACKOFFS_S = (60.0, 120.0)
+
+
+def _last_verified_on_chip(artifact_dir: str | None = None):
+    """Provenance for the wedge-failure record: the newest driver-recorded
+    SUCCESSFUL bench artifact (``BENCH_r*.json`` written next to this file
+    by the round driver, highest round with rc==0 and a parsed value).
+    Falls back to the round-2 constant when none parses (e.g. a fresh
+    checkout without artifacts)."""
+    import glob
+
+    best = {
+        "artifact": "BENCH_r02.json",
+        "value": 515.39,
+        "unit": "img/s",
+        "vs_baseline": 5.154,
+    }
+    best_n = -1
+    if artifact_dir is None:
+        artifact_dir = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(artifact_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = d.get("parsed") if isinstance(d, dict) else None
+        if (
+            isinstance(d, dict)
+            and d.get("rc") == 0
+            and isinstance(parsed, dict)
+            and isinstance(parsed.get("value"), (int, float))
+        ):
+            n = d.get("n", 0)
+            if isinstance(n, (int, float)) and n > best_n:
+                best_n = n
+                best = {
+                    "artifact": os.path.basename(p),
+                    "value": parsed["value"],
+                    "unit": parsed.get("unit", "img/s"),
+                    "vs_baseline": parsed.get("vs_baseline"),
+                }
+    return best
+
+
+def _emit_wedge_failure_json(error: str) -> None:
+    """ONE machine-readable line for the round artifact when the tunnel is
+    wedged: value=null is unambiguous (an environment failure, NOT a
+    measurement — the exit code stays nonzero), and the last verified
+    measurement carries the provenance a reader needs."""
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
+                "value": None,
+                "unit": "img/s",
+                "vs_baseline": None,
+                "error": error,
+                "last_verified_on_chip": _last_verified_on_chip(),
+            }
+        )
+    )
 
 
 def _peak_bf16_tflops(device_kind: str):
@@ -303,6 +365,18 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
     extras = []
     rng = np.random.default_rng(1)
 
+    def omit(label, one, many):
+        # absurd-rate contract (same as the primary metric): a
+        # noise-inverted timing must NOT land in the self-certifying JSON;
+        # an extra is non-essential, so note the omission on stderr — with
+        # the full metric label, so a test (or a reader) can tell WHICH
+        # extra is missing and why — instead of aborting the whole bench
+        print(
+            f"bench.py: extra omitted [{label}] — timing inverted/absurd "
+            f"(one={one:.4f}s many={many:.4f}s); host too contended",
+            file=sys.stderr,
+        )
+
     # ---- 756px cache build ------------------------------------------------
     cb_batch, cb_img = (2, 126) if tiny else (8, 756)
 
@@ -330,10 +404,6 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
         lambda: float(cache_many(backbone, cb_pixels, 1)),
         lambda: float(cache_many(backbone, cb_pixels, cb_iters + 1)),
     )
-    # same absurd-rate contract as the primary metric: a noise-inverted
-    # timing must NOT land in the self-certifying JSON — but an extra is
-    # non-essential, so note the omission on stderr instead of aborting
-    # the whole bench
     if dt > 0 and cb_batch * cb_iters / dt < 50_000:
         extras.append(
             {
@@ -343,11 +413,7 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
             }
         )
     else:
-        print(
-            f"bench.py: cache-build extra omitted — timing inverted/absurd "
-            f"(one={one:.4f}s many={many:.4f}s); host too contended",
-            file=sys.stderr,
-        )
+        omit("756px feature-cache build", one, many)
 
     # ---- stage-1 train step ------------------------------------------------
     from ucod_dpl_tpu.config import CfgNode
@@ -404,8 +470,8 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
     dt, one, many = _min_marginal_rate(
         lambda: run_steps(1), lambda: run_steps(tr_iters + 1)
     )
-    # absurd-rate guard: a bs16 stage-1 step is milliseconds of real work;
-    # sub-0.1ms implies the marginal subtraction was eaten by host noise
+    # a bs16 stage-1 step is milliseconds of real work; sub-0.1ms implies
+    # the marginal subtraction was eaten by host noise
     if dt > 0 and dt / tr_iters > 1e-4:
         extras.append(
             {
@@ -415,11 +481,7 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
             }
         )
     else:
-        print(
-            f"bench.py: train-step extra omitted — timing inverted/absurd "
-            f"(one={one:.4f}s many={many:.4f}s); host too contended",
-            file=sys.stderr,
-        )
+        omit("stage-1 train step", one, many)
 
     # ---- LoRA joint train step (live backbone, flash VJP + remat) ---------
     # the heaviest training composition the framework ships: pixels ->
@@ -483,11 +545,7 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
             }
         )
     else:
-        print(
-            f"bench.py: LoRA-step extra omitted — timing inverted/absurd "
-            f"(one={one:.4f}s many={many:.4f}s); host too contended",
-            file=sys.stderr,
-        )
+        omit("LoRA joint train step", one, many)
 
     # ---- int8 W8A8 serving eval --------------------------------------------
     # the opt-in quantized serving path (ops/quant.py): the SAME 518px live
@@ -495,13 +553,12 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
     # the MXU's 2x int8 mode (v5e: 394 TOPS vs 197 bf16 TFLOPS).  Reported
     # as an extra — the headline stays the bf16 parity composition.
     from ucod_dpl_tpu.models.dba import fg_logits_live
-    from ucod_dpl_tpu.models.dba import init_rev_decoder as _init_dec
     from ucod_dpl_tpu.ops.quant import quantize_dino_linears
     from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
     q_batch, q_img = (2, 126) if tiny else (32, 518)
     qparams = jax.jit(quantize_dino_linears)(backbone)
-    q_decoder = _init_dec(jax.random.PRNGKey(11), cfg.hidden_size)
+    q_decoder = init_rev_decoder(jax.random.PRNGKey(11), cfg.hidden_size)
 
     @jax.jit
     def int8_many(params, qp, dec_params, pixels, n):
@@ -533,11 +590,7 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
             }
         )
     else:
-        print(
-            f"bench.py: int8 extra omitted — timing inverted/absurd "
-            f"(one={one:.4f}s many={many:.4f}s); host too contended",
-            file=sys.stderr,
-        )
+        omit("int8 W8A8 backbone", one, many)
     return extras
 
 
@@ -600,6 +653,12 @@ def main():
                     "and re-run.",
                     file=sys.stderr,
                 )
+                _emit_wedge_failure_json(
+                    "TPU tunnel wedge suspected: the measurement child was "
+                    f"killed after exceeding the {POST_DISCOVERY_BUDGET_S:.0f}s "
+                    "post-discovery budget; not retrying (a post-discovery "
+                    "kill can itself create a stale remote claim)"
+                )
                 sys.exit(3)
         else:
             if proc.returncode == 0:
@@ -635,31 +694,10 @@ def main():
         "clients mid-remote-compile, then re-run bench.py.",
         file=sys.stderr,
     )
-    # Still emit ONE machine-readable line so the round artifact records
-    # WHAT failed and what the last driver-verified measurement was,
-    # instead of only a traceback.  value=null is unambiguous: this is an
-    # environment failure, NOT a measurement (the exit code stays nonzero).
-    print(
-        json.dumps(
-            {
-                "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
-                "value": None,
-                "unit": "img/s",
-                "vs_baseline": None,
-                "error": (
-                    f"TPU tunnel wedged: backend discovery failed in all "
-                    f"{ATTEMPTS} child attempts (watchdog "
-                    f"{DISCOVERY_WATCHDOG_S:.0f}s each); remote terminal "
-                    "fault — needs infra-side restart"
-                ),
-                "last_verified_on_chip": {
-                    "artifact": "BENCH_r02.json",
-                    "value": 515.39,
-                    "unit": "img/s",
-                    "vs_baseline": 5.154,
-                },
-            }
-        )
+    _emit_wedge_failure_json(
+        f"TPU tunnel wedged: backend discovery failed in all {ATTEMPTS} "
+        f"child attempts (watchdog {DISCOVERY_WATCHDOG_S:.0f}s each); "
+        "remote terminal fault — needs infra-side restart"
     )
     sys.exit(last_rc)
 

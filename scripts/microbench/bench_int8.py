@@ -26,6 +26,13 @@ def min_marginal(run_one, run_many, repeats=3):
     for _ in range(repeats):
         t0 = time.perf_counter(); run_one(); b1 = min(b1, time.perf_counter() - t0)
         t0 = time.perf_counter(); run_many(); bm = min(bm, time.perf_counter() - t0)
+    if bm - b1 <= 0:
+        # same inverted-timing contract as bench.py: never print a
+        # negative/absurd rate as if it were a measurement
+        raise RuntimeError(
+            f"timing inverted (one={b1:.4f}s many={bm:.4f}s): host too "
+            "contended to measure — re-run on a quiet host"
+        )
     return bm - b1
 
 

@@ -2,9 +2,11 @@
 
 BENCH_r03 was lost to a tunnel wedge; BENCH_r04 must not be lost to a
 wiring error.  This runs the WHOLE bench pipeline — parent/child re-exec
-orchestration, the primary eval metric, and all three extras (756px cache
-build, stage-1 train step, LoRA joint step) — on CPU with a tiny backbone
-(UCOD_BENCH_TINY_EXTRAS) and validates the printed JSON contract.
+orchestration, the primary eval metric, and all four extras (756px cache
+build, stage-1 train step, LoRA joint step, int8 serving eval) — on CPU
+with a tiny backbone (UCOD_BENCH_TINY_EXTRAS) and validates the printed
+JSON contract, plus the wedge-failure record the parent emits when the
+tunnel is unusable.
 """
 
 import json
@@ -90,8 +92,87 @@ def test_bench_wedge_failure_emits_machine_readable_line(monkeypatch, capsys):
     d = json.loads(lines[0])
     assert d["value"] is None and d["vs_baseline"] is None
     assert "wedged" in d["error"]
-    assert d["last_verified_on_chip"]["value"] == 515.39
+    lv = d["last_verified_on_chip"]
+    # provenance is read from the newest successful BENCH_r*.json artifact
+    # (not a hardcoded constant that would go stale after each round)
+    assert lv["artifact"].startswith("BENCH_r") and lv["value"] > 0
     assert d["unit"] == "img/s"
+
+
+def test_last_verified_reads_newest_successful_artifact(tmp_path):
+    """Highest round with rc==0 and a parsed value wins; rc!=0 rounds and
+    malformed files are skipped; an empty dir falls back to the r02
+    constant."""
+    from bench import _last_verified_on_chip
+
+    assert _last_verified_on_chip(str(tmp_path))["value"] == 515.39  # fallback
+
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"n": 2, "rc": 0,
+         "parsed": {"value": 515.39, "unit": "img/s", "vs_baseline": 5.154}}))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps(
+        {"n": 4, "rc": 0,
+         "parsed": {"value": 560.5, "unit": "img/s", "vs_baseline": 5.605}}))
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(
+        {"n": 5, "rc": 3, "parsed": None}))  # wedged round must not win
+    (tmp_path / "BENCH_r06.json").write_text("not json")
+    lv = _last_verified_on_chip(str(tmp_path))
+    assert lv == {"artifact": "BENCH_r04.json", "value": 560.5,
+                  "unit": "img/s", "vs_baseline": 5.605}
+
+
+def test_bench_measurement_phase_kill_emits_machine_readable_line(
+    monkeypatch, capsys
+):
+    """A wedge AFTER discovery (child killed in the measurement phase, no
+    retry — a post-discovery kill can itself create a stale claim) must
+    also emit the value=null JSON record, not just a stderr note."""
+    import subprocess as sp
+
+    import bench
+
+    class FakeHungChild:
+        """Touches the discovery sentinel, then never exits."""
+
+        returncode = None
+
+        def __init__(self, env):
+            self._env = env
+
+        def poll(self):
+            # parent polls during the discovery wait; create the sentinel
+            # on first poll so it moves on to the measurement phase
+            open(self._env["UCOD_BENCH_DISCOVERY_SENTINEL"], "w").write("ok")
+            return None
+
+        def communicate(self, timeout=None):
+            raise sp.TimeoutExpired(cmd="bench-child", timeout=timeout)
+
+        def kill(self):
+            pass
+
+        def wait(self):
+            self.returncode = -9
+
+    monkeypatch.setattr(
+        bench.subprocess, "Popen", lambda *a, env=None, **k: FakeHungChild(env)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "POST_DISCOVERY_BUDGET_S", 0.01)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.delenv("UCOD_BENCH_NO_RETRY", raising=False)
+
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 3
+
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, out
+    d = json.loads(lines[0])
+    assert d["value"] is None
+    assert "post-discovery" in d["error"]
+    assert d["last_verified_on_chip"]["value"] > 0
 
 
 @pytest.mark.heavy  # subprocess e2e (~1-2 min on this host)
@@ -124,12 +205,15 @@ def test_bench_json_contract_tiny_cpu():
     assert d["flops_per_img"] > 1e9
     assert d["peak_bf16_tflops"] is None and d["mfu"] is None  # unknown on cpu
 
-    # extras: each of the three hot paths either reported a number or left
-    # an explicit omission note on stderr (absurd-timing guard on a
-    # contended host) — NEVER silently absent
+    # extras: each hot path either reported a number or left an explicit
+    # PER-EXTRA omission note on stderr (absurd-timing guard on a
+    # contended host) — NEVER silently absent.  The omission match is
+    # name-specific: a generic "omitted" test would let one legitimately
+    # omitted extra mask a different extra silently vanishing.
     reported = {m["metric"] for m in d["metrics"]}
     for name in EXTRA_NAMES:
         hit = any(name in m for m in reported)
-        assert hit or "omitted" in r.stderr, (name, reported, r.stderr[-800:])
+        omitted = f"extra omitted [{name}]" in r.stderr
+        assert hit or omitted, (name, reported, r.stderr[-800:])
     for m in d["metrics"]:
         assert m["value"] > 0 and m["unit"] in ("img/s", "ms/step"), m

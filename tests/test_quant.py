@@ -112,12 +112,15 @@ def test_fg_logits_live_int8_agreement():
 
 
 def test_quant_guards():
-    """Parity-critical compositions must refuse the int8 path."""
+    """Parity-critical compositions must refuse the int8 path — with a
+    real exception (ValueError), not an assert that `python -O` strips."""
     params, _ = _tiny_model()
     qparams = quantize_dino_linears(params)
     pixels = jnp.zeros((1, 56, 56, 3), jnp.float32)
-    with pytest.raises(AssertionError, match="parity"):
+    with pytest.raises(ValueError, match="parity"):
         dino_forward(params, pixels, TINY, quant=qparams, want_cls_attention=True)
+    with pytest.raises(ValueError, match="single-chip"):
+        dino_forward(params, pixels, TINY, quant=qparams, tp_shard=(object(), "model"))
 
 
 def test_predictor_int8_smoke():

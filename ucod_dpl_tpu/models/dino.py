@@ -376,11 +376,19 @@ def dino_forward(
         "requires the unfolded forward"
     )
     if quant is not None:
-        assert tp_shard is None, "int8 path is single-chip (weights are GSPMD-sharded under TP)"
-        assert not want_cls_attention, (
-            "pseudo-label generation is a bitwise parity contract; "
-            "run it on the full-precision forward"
-        )
+        # ValueError, not assert: these guards protect a *parity contract*
+        # and must survive `python -O` (a stripped assert would let the TP
+        # path consume unsharded int8 outputs, or emit CLS attention from
+        # quantized q/k into the bitwise pseudo-label pipeline)
+        if tp_shard is not None:
+            raise ValueError(
+                "int8 path is single-chip (weights are GSPMD-sharded under TP)"
+            )
+        if want_cls_attention:
+            raise ValueError(
+                "pseudo-label generation is a bitwise parity contract; "
+                "run it on the full-precision forward"
+            )
         from ucod_dpl_tpu.ops.quant import dense_w8a8, quantize_linear
     b, img_h, img_w, _ = pixels.shape
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
