@@ -55,6 +55,17 @@ _PEAK_BF16_TFLOPS = (
     ("v2", 23.0),
 )
 
+# int8 peak (TOPS) per device — 2x bf16 on v5e/v5p/v6e; v4 executes int8
+# at the bf16 rate; v2/v3 have no int8 MXU mode (omitted -> None)
+_PEAK_INT8_TOPS = (
+    ("v6", 1836.0),
+    ("v5p", 918.0),
+    ("v5 lite", 394.0),
+    ("v5e", 394.0),
+    ("v5", 918.0),
+    ("v4", 275.0),
+)
+
 DISCOVERY_WATCHDOG_S = 300.0
 ATTEMPTS = 3
 # post-discovery budget: remote compiles are 70-100s each and the extras add
@@ -131,6 +142,14 @@ def _emit_wedge_failure_json(error: str) -> None:
 def _peak_bf16_tflops(device_kind: str):
     kind = device_kind.lower()
     for key, peak in _PEAK_BF16_TFLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def _peak_int8_tops(device_kind: str):
+    kind = device_kind.lower()
+    for key, peak in _PEAK_INT8_TOPS:
         if key in kind:
             return peak
     return None
@@ -405,13 +424,18 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
         lambda: float(cache_many(backbone, cb_pixels, cb_iters + 1)),
     )
     if dt > 0 and cb_batch * cb_iters / dt < 50_000:
-        extras.append(
-            {
-                "metric": "756px feature-cache build (dinov2-base, unfolded)",
-                "value": round(cb_batch * cb_iters / dt, 2),
-                "unit": "img/s",
-            }
-        )
+        entry = {
+            "metric": "756px feature-cache build (dinov2-base, unfolded)",
+            "value": round(cb_batch * cb_iters / dt, 2),
+            "unit": "img/s",
+        }
+        # self-certify like the headline: analytic FLOPs of the UNFOLDED
+        # forward at the cache-build resolution vs the chip's bf16 peak
+        cb_peak = _peak_bf16_tflops(jax.devices()[0].device_kind)
+        if cb_peak and jax.default_backend() == "tpu":
+            cb_flops = _analytic_backbone_flops_per_img(cfg, cb_img)
+            entry["mfu"] = round(entry["value"] * cb_flops / (cb_peak * 1e12), 4)
+        extras.append(entry)
     else:
         omit("756px feature-cache build", one, many)
 
@@ -582,13 +606,23 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
         lambda: int(int8_many(backbone, qparams, q_decoder, q_pixels, q_iters + 1)),
     )
     if dt > 0 and q_batch * q_iters / dt < 50_000:
-        extras.append(
-            {
-                "metric": "518px eval, int8 W8A8 backbone (opt-in serving path)",
-                "value": round(q_batch * q_iters / dt, 2),
-                "unit": "img/s",
-            }
-        )
+        entry = {
+            "metric": "518px eval, int8 W8A8 backbone (opt-in serving path)",
+            "value": round(q_batch * q_iters / dt, 2),
+            "unit": "img/s",
+        }
+        # utilization vs the chip's INT8 peak.  Slight undercount by
+        # construction: the attention (~23% of FLOPs) stays bf16, so its
+        # ops are charged at half their true cost share — honest in the
+        # right direction, like the headline's excluded decoder FLOPs.
+        int8_peak = _peak_int8_tops(jax.devices()[0].device_kind)
+        if int8_peak and jax.default_backend() == "tpu":
+            q_flops = _analytic_backbone_flops_per_img(cfg, q_img, key_fold_dim=128)
+            entry["mfu_vs_int8_peak"] = round(
+                entry["value"] * q_flops / (int8_peak * 1e12), 4
+            )
+            entry["peak_int8_tops"] = int8_peak
+        extras.append(entry)
     else:
         omit("int8 W8A8 backbone", one, many)
     return extras

@@ -39,6 +39,13 @@ def test_peak_tflops_table():
     assert _peak_bf16_tflops("TPU v6 lite") == 918.0
     assert _peak_bf16_tflops("Quantum Chip 9000") is None
 
+    from bench import _peak_int8_tops
+
+    assert _peak_int8_tops("TPU v5 lite") == 394.0  # 2x bf16
+    assert _peak_int8_tops("TPU v5p") == 918.0
+    assert _peak_int8_tops("TPU v4") == 275.0  # int8 at the bf16 rate
+    assert _peak_int8_tops("TPU v3") is None  # no int8 MXU mode
+
 
 def test_analytic_flops_key_fold_discount():
     """The key-folded last layer must be counted as LN1 + a 768->128 matmul,
