@@ -74,14 +74,24 @@ def test_dense_w8a8_extreme_scale_invariance():
     assert row_rel.max() < 0.02, row_rel
 
 
-def test_dino_forward_int8_agreement():
+@pytest.mark.parametrize(
+    "variant",
+    ["dinov2", "dinov1"],  # dinov1: no layerscale, patch 8, eps 1e-12
+)
+def test_dino_forward_int8_agreement(variant):
     """End-to-end tiny-ViT forward: int8 key features must track f32."""
-    params, _ = _tiny_model()
+    cfg = dataclasses.replace(
+        DinoConfig.from_type(variant),
+        num_layers=2,
+        image_size=56 if variant == "dinov2" else 32,
+    )
+    params = init_dino(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(3)
-    pixels = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
-    ref = dino_forward(params, pixels, TINY)["key_features"]
+    sz = cfg.image_size
+    pixels = jnp.asarray(rng.standard_normal((2, sz, sz, 3)).astype(np.float32))
+    ref = dino_forward(params, pixels, cfg)["key_features"]
     qparams = quantize_dino_linears(params)
-    got = dino_forward(params, pixels, TINY, quant=qparams)["key_features"]
+    got = dino_forward(params, pixels, cfg, quant=qparams)["key_features"]
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     cos = float(
         jnp.vdot(got, ref) / (jnp.linalg.norm(got) * jnp.linalg.norm(ref))
