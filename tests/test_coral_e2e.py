@@ -134,3 +134,59 @@ def test_coral_eval_batched_matches_bs1(tmp_path):
     r2 = LocalRefineRunner(cfg, mode="eval").launch_val()
     for k in ("MAE", "SMeasure", "E_MEAN", "F_MEAN", "WFM"):
         assert np.isclose(r1[k], r2[k]), (k, r1[k], r2[k])
+
+
+@pytest.mark.heavy
+def test_coral_train_preempt_and_resume(tmp_path, monkeypatch):
+    """Stage-2 preemption: the deferred flag is honoured at the next step
+    boundary — the trainer saves an ``epoch{N}_preempt`` refiner and exits
+    128+SIGTERM; a new runner restarted from that checkpoint (the logged
+    ``--refiner_path`` guidance) completes cleanly with the saved weights."""
+    import glob
+
+    from ucod_dpl_tpu.engine import preempt
+    from ucod_dpl_tpu.models.udlr import load_refiner_checkpoint
+
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=4)
+    cfg = _coral_cfg(tmp_path)
+    cfg.train_cfg.max_epoch = 10_000  # must be cut short by the flag
+    runner = LocalRefineRunner(cfg, mode="train")
+
+    calls = {"n": 0, "armed": True}
+
+    def flag_after_three(*a, **k):
+        # two train batches poll first (n=4, bs=2), then a boundary poll
+        calls["n"] += 1
+        return 15 if calls["armed"] and calls["n"] >= 3 else None
+
+    monkeypatch.setattr(preempt, "requested_global", flag_after_three)
+
+    with pytest.raises(SystemExit) as ei:
+        runner.launch_train()
+    assert ei.value.code == 128 + 15
+
+    ckpts = glob.glob(
+        os.path.join(runner.log_path, "refiner_ckp", "*_preempt.safetensors")
+    )
+    assert len(ckpts) == 1, ckpts
+    saved = load_refiner_checkpoint(ckpts[0])
+    np.testing.assert_allclose(
+        np.asarray(saved["csf"]["mask_dec"]["w"]),
+        np.asarray(runner.refiner_params["csf"]["mask_dec"]["w"]),
+        rtol=1e-6,
+    )
+
+    # restart from the preempt checkpoint (fresh runner, short schedule);
+    # the injected flag is disarmed — the signal was 'delivered' once
+    calls["armed"] = False
+    cfg2 = _coral_cfg(tmp_path)
+    runner2 = LocalRefineRunner(cfg2, mode="train", refiner_path=ckpts[0])
+    np.testing.assert_allclose(
+        np.asarray(runner2.refiner_params["csf"]["mask_dec"]["w"]),
+        np.asarray(saved["csf"]["mask_dec"]["w"]),
+        rtol=1e-6,
+    )
+    runner2.launch_train()
+    assert np.all(
+        np.isfinite(np.asarray(runner2.refiner_params["csf"]["mask_dec"]["w"]))
+    )
