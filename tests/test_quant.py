@@ -121,6 +121,28 @@ def test_fg_logits_live_int8_agreement():
     assert agree > 0.9, agree
 
 
+def test_fg_logits_live_int8_bf16_dtype_plumbing():
+    """The on-chip configuration is compute_dtype=bf16: the quantized
+    composition must run in bf16 end-to-end and still track the bf16
+    full-precision path (this is what selfcheck check 9 runs on hardware)."""
+    params, decoder = _tiny_model(seed=11)
+    rng = np.random.default_rng(6)
+    pixels = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
+    ref, _, _ = fg_logits_live(
+        params, decoder, pixels, TINY, compute_dtype=jnp.bfloat16, size=8
+    )
+    qparams = quantize_dino_linears(params)
+    got, _, _ = fg_logits_live(
+        params, decoder, pixels, TINY, compute_dtype=jnp.bfloat16, size=8,
+        quant=qparams,
+    )
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    assert np.isfinite(got).all()
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
 def test_quant_guards():
     """Parity-critical compositions must refuse the int8 path — with a
     real exception (ValueError), not an assert that `python -O` strips."""
