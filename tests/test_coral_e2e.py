@@ -190,3 +190,89 @@ def test_coral_train_preempt_and_resume(tmp_path, monkeypatch):
     assert np.all(
         np.isfinite(np.asarray(runner2.refiner_params["csf"]["mask_dec"]["w"]))
     )
+
+
+@pytest.mark.heavy
+def test_refine_predictor_matches_eval_cli(tmp_path):
+    """Stage-2 serving (RefinePredictor) must reproduce the CORAL eval
+    loop's saved masks on the same images with the same weights — the
+    serving path extracts features LIVE while the eval loop reads caches,
+    so agreement also pins cache==live extraction."""
+    from PIL import Image
+
+    from ucod_dpl_tpu.serving import RefinePredictor
+
+    _make_synthetic_dataset(tmp_path / "RefCOD", n=3)
+    cfg = _coral_cfg(tmp_path)
+    runner = LocalRefineRunner(cfg, mode="eval")
+    runner.launch_val()  # writes preds/TINY/*.png at label resolution
+
+    rp = RefinePredictor(
+        runner.val_dataset.feature_extractor,
+        runner.decoder_params,
+        runner.refiner_params,
+        image_size=tuple(cfg.dataset_cfg.valset_cfg.image_size),
+        window_size=cfg.model_cfg.window_size,
+        window_length=cfg.model_cfg.window_length,
+        threshold=cfg.model_cfg.threshold,
+        use_m_patches=False,
+        max_batch=2,
+    )
+    preds_dir = os.path.join(runner.log_path, "preds", "TINY")
+    paths = list(runner.val_dataset.image_paths)
+    assert len(paths) == 3
+    for p in paths:
+        name = os.path.splitext(os.path.basename(str(p)))[0] + ".png"
+        saved = np.asarray(Image.open(os.path.join(preds_dir, name)))
+        mask = rp.predict([str(p)], output_size=saved.shape[:2])[0]
+        agree = np.mean((mask > 0.5) == (saved > 127))
+        assert agree == 1.0, (p, agree)
+
+
+@pytest.mark.heavy
+def test_refine_predictor_m_patches_and_batching(tmp_path):
+    """m-patch path smoke + batch invariance + input validation."""
+    from ucod_dpl_tpu.models.udlr import init_sparse_refiner
+    from ucod_dpl_tpu.serving import RefinePredictor
+
+    import jax
+
+    from test_eval_e2e import DIM as _DIM
+    from ucod_dpl_tpu.config import CfgNode
+    from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+    from ucod_dpl_tpu.models.dba import init_rev_decoder
+
+    fe = FeatureExtractor(
+        CfgNode(
+            {
+                "type": "dinov2",
+                "backbone": "facebook/dinov2-base",
+                "backbone_weights": "none",
+                "arch": {"hidden_size": _DIM, "num_layers": 2, "num_heads": 4,
+                         "patch_size": 14, "image_size": 56},
+            }
+        )
+    )
+    rp = RefinePredictor(
+        fe,
+        init_rev_decoder(jax.random.PRNGKey(0), _DIM),
+        init_sparse_refiner(jax.random.PRNGKey(1), dim=_DIM),
+        image_size=(56, 56),
+        window_size=3,
+        window_length=8,
+        use_m_patches=True,
+        max_batch=2,
+    )
+    rng = np.random.default_rng(0)
+    imgs = [(rng.random((60 + 4 * i, 72, 3)) * 255).astype(np.uint8) for i in range(3)]
+    singly = [rp.predict([im])[0] for im in imgs]
+    batched = rp.predict(imgs)  # 2 + padded tail chunk
+    for a, b in zip(singly, batched):
+        assert a.shape == (56, 56)
+        assert set(np.unique(a)).issubset({0.0, 1.0})
+        np.testing.assert_array_equal(a, b)
+    (soft,) = rp.predict([imgs[0]], soft=True, output_size=(60, 72))
+    assert soft.shape == (60, 72) and soft.min() >= 0.0 and soft.max() <= 1.0
+
+    with pytest.raises(ValueError, match="original pixels"):
+        rp.predict([np.zeros((56, 56, 3), np.float32)])

@@ -48,6 +48,47 @@ def _to_hwc(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+# -- LR (stage-2) pixel-side geometry, shared by LRDataset and the serving
+#    RefinePredictor ----------------------------------------------------------
+
+M_PATCH_SLICE = 36
+M_PATCH_STRIDE = 18
+
+
+def grid_patch_arrays(img, image_size: Tuple[int, int], window_size: int) -> np.ndarray:
+    """(ws*ws, h, w, 3) normalised grid-patch pixel arrays (host side).
+    One resize + one vectorised normalise; slicing after normalisation is
+    elementwise-identical to the reference's crop-then-transform loop
+    (lr_dataset.py:136-152)."""
+    gh, gw = image_size
+    ws = window_size
+    big = patch_transform(resize_bilinear(img, (ws * gh, ws * gw)))
+    return np.stack(
+        [
+            big[i * gh : (i + 1) * gh, j * gw : (j + 1) * gw]
+            for i in range(ws)
+            for j in range(ws)
+        ]
+    )
+
+
+def slice_m_windows(key: np.ndarray) -> np.ndarray:
+    """(54, 54, C) high-res key map -> (4, 36, 36, C) overlapping m-patch
+    slices (lr_dataset.py:154-168)."""
+    s, st = M_PATCH_SLICE, M_PATCH_STRIDE
+    out = []
+    for i in range(2):
+        for j in range(2):
+            out.append(key[i * st : i * st + s, j * st : j * st + s, :])
+    return np.stack(out).astype(np.float32)
+
+
+def fe_image_size(extractor_type: str) -> Tuple[int, int]:
+    """High-res transform size: 756 (dinov2) / 432 (dinov1) — the
+    reference's feature_extractor_transform (base_dataset.py:107-110)."""
+    return (756, 756) if extractor_type == "dinov2" else (432, 432)
+
+
 class CacheSet:
     """Per-dataset cache handles with the reference directory layout."""
 
@@ -347,24 +388,10 @@ class LRDataset(CODDataset):
             self._build_coordinated(kinds, self._build_patch_cache)
 
     def _fe_image_size(self) -> Tuple[int, int]:
-        """High-res transform size: 756 (dinov2) / 432 (dinov1), the
-        reference's feature_extractor_transform (base_dataset.py:107-110)."""
-        return (756, 756) if self.feature_extractor_cfg.type == "dinov2" else (432, 432)
+        return fe_image_size(self.feature_extractor_cfg.type)
 
     def _grid_patch_arrays(self, img) -> np.ndarray:
-        """(ws*ws, h, w, 3) normalised grid-patch pixel arrays (host side).
-        One resize + one vectorised normalise; slicing after normalisation is
-        elementwise-identical to the reference's crop-then-transform loop."""
-        gh, gw = self.image_size
-        ws = self.window_size
-        big = patch_transform(resize_bilinear(img, (ws * gh, ws * gw)))
-        return np.stack(
-            [
-                big[i * gh : (i + 1) * gh, j * gw : (j + 1) * gw]
-                for i in range(ws)
-                for j in range(ws)
-            ]
-        )
+        return grid_patch_arrays(img, self.image_size, self.window_size)
 
     def _grid_patches(self, img) -> np.ndarray:
         """Resize to window_size x image_size and cut the patch grid.
@@ -374,19 +401,12 @@ class LRDataset(CODDataset):
 
     @staticmethod
     def _slice_m_windows(key: np.ndarray) -> np.ndarray:
-        """(54, 54, C) high-res key map -> (4, 36, 36, C) overlapping m-patch
-        slices (lr_dataset.py:154-168)."""
-        s, st = LRDataset.M_PATCH_SLICE, LRDataset.M_PATCH_STRIDE
-        out = []
-        for i in range(2):
-            for j in range(2):
-                out.append(key[i * st : i * st + s, j * st : j * st + s, :])
-        return np.stack(out).astype(np.float32)
+        return slice_m_windows(key)
 
     def _m_patches(self, img) -> np.ndarray:
         arr = image_transform(img, self._fe_image_size())
         key = np.asarray(self.feature_extractor.extract(arr[None]))[0]  # (54, 54, C)
-        return self._slice_m_windows(key)
+        return slice_m_windows(key)
 
     def _build_patch_cache(self) -> None:
         """Batched + overlapped build: grid patches of a whole image CHUNK go

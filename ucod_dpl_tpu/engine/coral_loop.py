@@ -95,6 +95,31 @@ def _make_refine(window_size: int, threshold: float):
     return refine
 
 
+def prepare_refine_inputs(decoder_params, l_input, h_input, m_input, window_length):
+    """Multi-resolution feature prep for the refiner (loop_CORAL.py:206-245),
+    shared by the evaluator and the serving RefinePredictor.
+
+    l/h features resize to the window length; the coarse prediction comes
+    from the stage-1 decoder on the 2x2 m-patch stitch when m features are
+    given, else directly on the resized l features."""
+    wl = window_length
+    b = l_input.shape[0]
+    c = l_input.shape[-1]
+    decoder_fwd = _make_decoder_fwd()
+    l_feat = _resize_nhwc(jnp.asarray(l_input), (wl, wl))
+    hf = jnp.asarray(h_input).reshape((-1,) + h_input.shape[2:])
+    h_feat = _resize_nhwc(hf, (wl, wl)).reshape(b, -1, wl, wl, c)
+
+    if m_input is not None:
+        mf = jnp.asarray(m_input).reshape((-1,) + m_input.shape[2:])
+        m_feat = _resize_nhwc(mf, (68, 68))
+        preds = decoder_fwd(decoder_params, m_feat)
+        preds = concate_m_patch_preds(preds.reshape(b, 4, 68, 68, 1))
+    else:
+        preds = decoder_fwd(decoder_params, l_feat)
+    return l_feat, h_feat, preds
+
+
 class LocalRefineEvaluator:
     def __init__(self, cfg, runner):
         self.cfg = cfg
@@ -111,21 +136,13 @@ class LocalRefineEvaluator:
 
     # -- feature prep (loop_CORAL.py:206-245) ------------------------------
     def _prepare(self, l_input, h_input, m_input):
-        wl = self.window_length
-        b = l_input.shape[0]
-        c = l_input.shape[-1]
-        l_feat = _resize_nhwc(jnp.asarray(l_input), (wl, wl))
-        hf = jnp.asarray(h_input).reshape((-1,) + h_input.shape[2:])
-        h_feat = _resize_nhwc(hf, (wl, wl)).reshape(b, -1, wl, wl, c)
-
-        if self.require_m and m_input is not None:
-            mf = jnp.asarray(m_input).reshape((-1,) + m_input.shape[2:])
-            m_feat = _resize_nhwc(mf, (68, 68))
-            preds = self._decoder_fwd(self.runner.decoder_params, m_feat)
-            preds = concate_m_patch_preds(preds.reshape(b, 4, 68, 68, 1))
-        else:
-            preds = self._decoder_fwd(self.runner.decoder_params, l_feat)
-        return l_feat, h_feat, preds
+        return prepare_refine_inputs(
+            self.runner.decoder_params,
+            l_input,
+            h_input,
+            m_input if self.require_m else None,
+            self.window_length,
+        )
 
     @staticmethod
     def _center_pad(x: np.ndarray, fill: float = -10.0) -> np.ndarray:

@@ -9,9 +9,21 @@ load-once / predict-many surface. ``Predictor`` wraps backbone + decoder
                               checkpoint="weights/UCOD_DPL_dinov2.safetensors")
     masks = p.predict(["im1.jpg", "im2.jpg"])   # list of (H, W) float masks
 
+``RefinePredictor`` is the stage-2 (CORAL) counterpart: stage-1 coarse
+decoder + UDLR local refinement, with live multi-resolution feature
+extraction (no dataset caches needed):
+
+    rp = RefinePredictor.from_config("configs/uscod/CORAL_dinov2.py",
+                                     checkpoint="weights/UCOD_DPL_dinov2.safetensors",
+                                     refiner_path="refiner_ckp/epoch8.safetensors")
+    masks = rp.predict(["im1.jpg"])
+
 Design: one jitted pixels->mask program per batch bucket (powers of two up to
 ``max_batch``), bf16 on TPU, uint8 mask readback, optional per-image
-LookTwice second pass reusing the eval-loop machinery.
+LookTwice second pass reusing the eval-loop machinery.  The refine path
+reuses the CORAL evaluator's exact prep/refine programs
+(engine/coral_loop.py::prepare_refine_inputs) so serving masks match the
+eval CLI's bit for bit on the same inputs.
 """
 
 from __future__ import annotations
@@ -237,4 +249,191 @@ class Predictor:
                     (interpolate_bilinear_np(m, output_size) > 0.5).astype(np.float32)
                     for m in masks
                 ]
+        return masks
+
+
+class RefinePredictor:
+    """Load-once stage-2 (CORAL) serving: coarse stage-1 prediction + UDLR
+    local refinement (the composition of ``LocalRefineValidationLoop``,
+    reference loop_CORAL.py:41-341, minus dataset/caches/metrics).
+
+    Inputs must carry original pixels (paths or uint8 RGB arrays) — the
+    multi-resolution features (518px l-features, the 3x3 grid h-features,
+    the optional 756px 2x2 m-patches) are extracted live per call.
+    """
+
+    def __init__(
+        self,
+        feature_extractor: FeatureExtractor,
+        decoder_params: RevDecoderParams,
+        refiner_params,
+        image_size=(518, 518),
+        window_size: int = 3,
+        window_length: int = 56,
+        threshold: float = 0.0015,
+        use_m_patches: bool = True,
+        max_batch: int = 4,
+        crop_center_ratio: float = 0.001,
+    ):
+        from ucod_dpl_tpu.engine.coral_loop import _make_refine
+
+        self.fe = feature_extractor
+        self.decoder_params = decoder_params
+        self.refiner_params = refiner_params
+        self.image_size = tuple(image_size)
+        self.window_size = window_size
+        self.window_length = window_length
+        self.use_m_patches = use_m_patches
+        self.max_batch = max_batch
+        self.crop_center_ratio = crop_center_ratio
+        self._refine = _make_refine(window_size, float(threshold))
+
+    @classmethod
+    def from_config(
+        cls,
+        config_path: str,
+        checkpoint: str,
+        refiner_path: str,
+        max_batch: int = 4,
+        strict: bool = True,
+    ) -> "RefinePredictor":
+        from ucod_dpl_tpu.config import load_config
+        from ucod_dpl_tpu.models.udlr import load_refiner_checkpoint
+
+        cfg = load_config(config_path)
+        fe = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg, strict=strict)
+        decoder, _ema = load_decoder_checkpoint(checkpoint)
+        refiner = load_refiner_checkpoint(refiner_path)
+        mc = cfg.model_cfg
+        return cls(
+            fe,
+            decoder,
+            refiner,
+            image_size=tuple(cfg.dataset_cfg.valset_cfg.get("image_size", (518, 518))),
+            window_size=mc.get("window_size", 3),
+            window_length=mc.window_length,
+            threshold=mc.get("threshold", 0.0015),
+            use_m_patches=cfg.dataset_cfg.valset_cfg.get("require_m_patches", True),
+            max_batch=max_batch,
+        )
+
+    # ------------------------------------------------------------------
+    def _load_image(self, item):
+        from PIL import Image
+
+        if isinstance(item, (str,)) or hasattr(item, "__fspath__"):
+            return ImageIO.read_image(item, "RGB")
+        arr = np.asarray(item)
+        if arr.ndim == 3 and arr.dtype == np.uint8:
+            return Image.fromarray(arr).convert("RGB")
+        raise ValueError(
+            "RefinePredictor needs original pixels (paths or uint8 RGB "
+            f"arrays) to extract multi-resolution features; got {type(item)!r}"
+            + (f" with shape {arr.shape}/{arr.dtype}" if isinstance(arr, np.ndarray) else "")
+        )
+
+    def _extract(self, imgs):
+        """PIL images -> (l, h, m) feature arrays, each resolution batched
+        through the backbone in ONE device call (the reference extracts 10+
+        forwards per image, lr_dataset.py:170-193)."""
+        from ucod_dpl_tpu.data.dataset import (
+            fe_image_size,
+            grid_patch_arrays,
+            slice_m_windows,
+        )
+
+        l = np.asarray(
+            self.fe.extract(
+                np.stack([image_transform(im, self.image_size) for im in imgs])
+            ),
+            np.float32,
+        )
+        grids = np.concatenate(
+            [grid_patch_arrays(im, self.image_size, self.window_size) for im in imgs]
+        )
+        gf = np.asarray(self.fe.extract(grids), np.float32)
+        per = self.window_size ** 2
+        h = gf.reshape(len(imgs), per, *gf.shape[1:])
+        m = None
+        if self.use_m_patches:
+            ms = np.stack(
+                [image_transform(im, fe_image_size(self.fe.fe_cfg.type)) for im in imgs]
+            )
+            keys = np.asarray(self.fe.extract(ms), np.float32)
+            m = np.stack([slice_m_windows(k) for k in keys])
+        return l, h, m
+
+    def _refine_batch(self, l, h, m):
+        from ucod_dpl_tpu.engine.coral_loop import prepare_refine_inputs
+
+        l_feat, h_feat, preds = prepare_refine_inputs(
+            self.decoder_params, l, h, m, self.window_length
+        )
+        out = np.asarray(self._refine(self.refiner_params, l_feat, h_feat, preds))
+        return out, np.asarray(preds)
+
+    def _refine_cropped(self, img) -> np.ndarray:
+        """Centre-crop fallback for a near-empty coarse prediction
+        (loop_CORAL.py:148-151, 276-311): re-extract on the centre half,
+        refine, centre-pad with the reference's -10 fill."""
+        from ucod_dpl_tpu.engine.coral_loop import LocalRefineEvaluator
+
+        w, ht = img.size
+        cropped = img.crop((w // 4, ht // 4, w // 4 + w // 2, ht // 4 + ht // 2))
+        l, h, m = self._extract([cropped])
+        out, _ = self._refine_batch(l, h, m)
+        return LocalRefineEvaluator._center_pad(out)[0]
+
+    def predict(
+        self,
+        inputs: Sequence[Union[str, np.ndarray]],
+        output_size: Optional[tuple] = None,
+        soft: bool = False,
+    ) -> List[np.ndarray]:
+        """Images -> (H, W) float32 refined masks ({0,1}; ``soft=True`` for
+        probabilities) at ``output_size`` (default: the refiner's native
+        output grid upsampled to the model image size)."""
+        import os as _os
+
+        if isinstance(inputs, (str, _os.PathLike)):
+            inputs = [inputs]
+        elif isinstance(inputs, np.ndarray) and inputs.ndim == 3:
+            inputs = [inputs]
+        inputs = list(inputs)
+        masks: List[np.ndarray] = []
+        i = 0
+        while i < len(inputs):
+            take = min(self.max_batch, len(inputs) - i)
+            imgs = [self._load_image(x) for x in inputs[i : i + take]]
+            # pad the tail chunk by repeating the last image: keeps one
+            # compiled shape per resolution (same trick as the eval loop)
+            padded = imgs + [imgs[-1]] * (self.max_batch - take)
+            l, h, m = self._extract(padded)
+            outputs, preds = self._refine_batch(l, h, m)
+            outputs, preds = outputs[:take], preds[:take]
+
+            # per-image centre-crop fallback for near-empty predictions
+            ratios = (preds > 0).sum(axis=(1, 2, 3)) / (
+                preds.shape[1] * preds.shape[2]
+            )
+            outs = list(outputs)
+            for k in np.nonzero(ratios < self.crop_center_ratio)[0]:
+                outs[k] = self._refine_cropped(imgs[k])
+
+            for out in outs:
+                out = out[None]
+                in_01 = bool(np.all((out >= 0) & (out <= 1)))
+                probs = (
+                    out
+                    if in_01
+                    else 1.0 / (1.0 + np.exp(-np.clip(out, -88.0, 88.0)))
+                )
+                size = tuple(output_size) if output_size is not None else self.image_size
+                up = interpolate_bilinear_np(
+                    np.transpose(probs, (0, 3, 1, 2)), size
+                )[0, 0]
+                masks.append(
+                    up.astype(np.float32) if soft else (up > 0.5).astype(np.float32)
+                )
+            i += take
         return masks
