@@ -107,7 +107,7 @@ def test_extract_raises_on_nonfinite_features(monkeypatch):
     rng = np.random.default_rng(0)
     monkeypatch.setattr(
         fe, "_forward",
-        lambda want: (lambda p, x: jnp.full((1, 4, 4, 64), jnp.nan)),
+        lambda want: (lambda p, x, q: jnp.full((1, 4, 4, 64), jnp.nan)),
     )
     with pytest.raises(FloatingPointError, match="non-finite"):
         fe.extract(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))

@@ -191,3 +191,112 @@ def test_predictor_int8_smoke():
 
     with pytest.raises(ValueError, match="int8"):
         Predictor(fe, decoder, quantize="int4", **kw)
+
+def _tiny_fe(quantize=None, hidden=64):
+    from ucod_dpl_tpu.config import CfgNode
+    from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+
+    return FeatureExtractor(
+        CfgNode(
+            {
+                "type": "dinov2",
+                "backbone": "facebook/dinov2-base",
+                "backbone_weights": "none",
+                "arch": {
+                    "hidden_size": hidden, "num_layers": 2, "num_heads": 4,
+                    "patch_size": 14, "image_size": 56,
+                },
+            }
+        ),
+        quantize=quantize,
+    )
+
+
+def test_feature_extractor_int8_extract_agreement():
+    """FeatureExtractor(quantize='int8').extract tracks the f32 extractor
+    (same weights: both random-init from the same seed); the CLS-attention
+    surface stays FULL precision (pseudo-label parity) — bitwise equal
+    across the two extractors."""
+    fe32, fe8 = _tiny_fe(), _tiny_fe(quantize="int8")
+    rng = np.random.default_rng(7)
+    px = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    ref, got = fe32.extract(px), fe8.extract(px)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.99, corr
+    assert not np.array_equal(ref, got)  # int8 path actually taken
+    for a, b in zip(fe32.extract_with_attention(px), fe8.extract_with_attention(px)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dataset_cache_refuses_quantized_extractor(tmp_path):
+    """Cache builds are a bitwise regeneration contract: handing a dataset
+    a quantized extractor must raise before any cache is written."""
+    from PIL import Image
+
+    from ucod_dpl_tpu.config import CfgNode
+    from ucod_dpl_tpu.data.dataset import CODDataset
+
+    root = tmp_path / "RefCOD" / "TINY"
+    for sub in ("im", "gt"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(
+            root / "im" / f"{i}.jpg"
+        )
+        Image.fromarray((rng.random((40, 40)) > 0.5).astype(np.uint8) * 255).save(
+            root / "gt" / f"{i}.png"
+        )
+    fe_cfg = CfgNode(
+        {
+            "type": "dinov2",
+            "backbone": "facebook/dinov2-base",
+            "backbone_weights": "none",
+            "arch": {
+                "hidden_size": 64, "num_layers": 2, "num_heads": 4,
+                "patch_size": 14, "image_size": 56,
+            },
+        }
+    )
+    set_cfg = CfgNode(
+        {"DATASET": "TINY", "image_size": [56, 56], "load_gt": True}
+    )
+    from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
+
+    with pytest.raises(ValueError, match="serving-only"):
+        CODDataset(
+            set_cfg,
+            fe_cfg,
+            str(tmp_path / "RefCOD"),
+            str(tmp_path / "cache"),
+            mode="eval",
+            image_size=(56, 56),
+            feature_extractor=FeatureExtractor(fe_cfg, quantize="int8"),
+        )
+    assert not (tmp_path / "cache").exists() or not any(
+        (tmp_path / "cache").rglob("*.npy")
+    )
+
+
+def test_refine_predictor_int8_smoke():
+    """Stage-2 serving opt-in: a quantized RefinePredictor yields valid
+    masks that substantially agree with the f32 one (all three live
+    extraction resolutions ride the W8A8 backbone)."""
+    from ucod_dpl_tpu.models.udlr import init_sparse_refiner
+    from ucod_dpl_tpu.serving import RefinePredictor
+
+    decoder = init_rev_decoder(jax.random.PRNGKey(0), 64)
+    refiner = init_sparse_refiner(jax.random.PRNGKey(1), dim=64)
+    kw = dict(
+        image_size=(56, 56), window_size=3, window_length=8,
+        use_m_patches=False, max_batch=2,
+    )
+    rp32 = RefinePredictor(_tiny_fe(), decoder, refiner, **kw)
+    rp8 = RefinePredictor(_tiny_fe(quantize="int8"), decoder, refiner, **kw)
+    rng = np.random.default_rng(9)
+    imgs = [(rng.random((64, 72, 3)) * 255).astype(np.uint8) for _ in range(2)]
+    m32, m8 = rp32.predict(imgs), rp8.predict(imgs)
+    for a, b in zip(m32, m8):
+        assert b.shape == (56, 56)
+        assert set(np.unique(b)).issubset({0.0, 1.0})
+        assert np.mean(a == b) > 0.9, np.mean(a == b)

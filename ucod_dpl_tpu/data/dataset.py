@@ -283,6 +283,14 @@ class CODDataset:
     def feature_extractor(self) -> FeatureExtractor:
         if self._feature_extractor is None:
             self._feature_extractor = FeatureExtractor(self.feature_extractor_cfg)
+        if getattr(self._feature_extractor, "quantize", None) is not None:
+            # caches are a bitwise regeneration contract (test_pipeline_
+            # equivalence pins cache==reference); int8 features would poison
+            # every downstream read
+            raise ValueError(
+                "dataset cache builds require the full-precision extractor; "
+                "int8 quantization is a serving-only path"
+            )
         return self._feature_extractor
 
     def _load_image_array(self, path: Path) -> np.ndarray:

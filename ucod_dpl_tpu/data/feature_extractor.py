@@ -56,7 +56,7 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool, tp_shar
     # exact-redundant transfer is free everywhere.)  Hosts upcast to f32.
     if want_attn:
 
-        def fwd(params, pixels):
+        def fwd(params, pixels, qparams):
             out = dino_forward(
                 params,
                 pixels,
@@ -64,6 +64,7 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool, tp_shar
                 want_cls_attention=True,
                 compute_dtype=compute_dtype,
                 tp_shard=tp_shard,
+                quant=qparams,
             )
             return (
                 out["key_tokens"],
@@ -73,10 +74,10 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool, tp_shar
 
     else:
 
-        def fwd(params, pixels):
+        def fwd(params, pixels, qparams):
             out = dino_forward(
                 params, pixels, cfg=config, compute_dtype=compute_dtype,
-                tp_shard=tp_shard,
+                tp_shard=tp_shard, quant=qparams,
             )
             return out["key_features"]
 
@@ -93,6 +94,7 @@ class FeatureExtractor:
         seed: int = 0,
         strict: Optional[bool] = None,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         """``strict`` (or ``fe_cfg.strict_weights``): missing pretrained
         weights raise instead of silently falling back to random init — a
@@ -102,7 +104,12 @@ class FeatureExtractor:
         the backbone runs TENSOR-PARALLEL — params sharded Megatron-style
         (``parallel/tp.py``), head-local shard_map attention — and batches
         are sharded over the ``data`` axis; config surface:
-        ``tpu_cfg.mesh = {"data": N, "model": M}``."""
+        ``tpu_cfg.mesh = {"data": N, "model": M}``.
+
+        ``quantize="int8"``: W8A8 backbone linears on the MXU's 2x int8
+        mode (``ops/quant.py``) — an opt-in SERVING path.  Parity surfaces
+        refuse it: dataset cache builds (caches must regenerate bitwise),
+        CLS-attention extraction (pseudo-label contract), and TP."""
         self.fe_cfg = fe_cfg
         self.strict = fe_cfg.get("strict_weights", False) if strict is None else strict
         self.config = DinoConfig.from_type(fe_cfg.type)
@@ -140,7 +147,17 @@ class FeatureExtractor:
                     f"{self.config.num_heads} attention heads not divisible "
                     f"by tpu_cfg.mesh model={mesh.shape['model']}"
                 )
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        if quantize is not None and self.tp_shard is not None:
+            raise ValueError("int8 path is single-chip (TP weights are GSPMD-sharded)")
+        self.quantize = quantize
+        self._qparams = None
         self.params = self._load_params(seed)
+        if quantize == "int8":
+            from ucod_dpl_tpu.ops.quant import quantize_dino_linears
+
+            self._qparams = jax.jit(quantize_dino_linears)(self.params)
         if self.tp_shard is not None:
             from ucod_dpl_tpu.parallel.tp import shard_dino_params
 
@@ -223,7 +240,9 @@ class FeatureExtractor:
         """(B, H, W, 3) normalised images -> (B, h, w, hidden) float32 key
         features on host (transferred in the compute dtype — exact, see
         :func:`_make_extract_fn`)."""
-        out = self._forward(False)(self.params, self._put_pixels(images_nhwc))
+        out = self._forward(False)(
+            self.params, self._put_pixels(images_nhwc), self._qparams
+        )
         return self._to_host_f32(out, "features")
 
     def extract_with_attention(
@@ -231,7 +250,12 @@ class FeatureExtractor:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns host float32 (key_tokens (B,1+N,C), key_features NHWC,
         cls_attention (B, nh, 1+N)) — the pseudo-label generator contract."""
-        toks, feats, attn = self._forward(True)(self.params, self._put_pixels(images_nhwc))
+        # always full precision: dino_forward rejects quant+CLS-attention
+        # (pseudo-label bitwise parity), so pass None rather than raise —
+        # a quantized extractor can still serve the parity surface exactly
+        toks, feats, attn = self._forward(True)(
+            self.params, self._put_pixels(images_nhwc), None
+        )
         return (
             self._to_host_f32(toks, "key tokens"),
             np.asarray(feats).astype(np.float32, copy=False),

@@ -69,12 +69,19 @@ class Predictor:
         # the full params (norms/embeddings still read from those)
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        # an extractor constructed with quantize="int8" opts the key-fold
+        # path in too (and shares its already-quantized linears)
+        if quantize is None and getattr(feature_extractor, "quantize", None):
+            quantize = feature_extractor.quantize
         self.quantize = quantize
         self._qparams = None
         if quantize == "int8":
-            from ucod_dpl_tpu.ops.quant import quantize_dino_linears
+            if getattr(feature_extractor, "_qparams", None) is not None:
+                self._qparams = feature_extractor._qparams
+            else:
+                from ucod_dpl_tpu.ops.quant import quantize_dino_linears
 
-            self._qparams = jax.jit(quantize_dino_linears)(feature_extractor.params)
+                self._qparams = jax.jit(quantize_dino_linears)(feature_extractor.params)
 
         fs = self.feature_size
 
@@ -296,12 +303,18 @@ class RefinePredictor:
         refiner_path: str,
         max_batch: int = 4,
         strict: bool = True,
+        quantize: Optional[str] = None,
     ) -> "RefinePredictor":
+        """``quantize="int8"``: W8A8 backbone for all three live extraction
+        resolutions (the stage-2 serving cost is backbone-dominated: 10+
+        backbone patches per image feed one small refiner)."""
         from ucod_dpl_tpu.config import load_config
         from ucod_dpl_tpu.models.udlr import load_refiner_checkpoint
 
         cfg = load_config(config_path)
-        fe = FeatureExtractor(cfg.dataset_cfg.feature_extractor_cfg, strict=strict)
+        fe = FeatureExtractor(
+            cfg.dataset_cfg.feature_extractor_cfg, strict=strict, quantize=quantize
+        )
         decoder, _ema = load_decoder_checkpoint(checkpoint)
         refiner = load_refiner_checkpoint(refiner_path)
         mc = cfg.model_cfg
