@@ -40,14 +40,21 @@ def _candidate_weight_paths(fe_cfg) -> list:
 
 
 @functools.lru_cache(maxsize=16)
-def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool, tp_shard=None):
+def _make_extract_fn(
+    config: DinoConfig, compute_dtype, want_attn: bool, tp_shard=None, sp_shard=None
+):
     """Module-level cached jit builder: extractors are constructed per
     Runner (one per dataset in scripts/eval.py) and per-instance jit caches
     would re-trace + re-hit the compilation cache on every dataset.
 
     ``tp_shard``: optional ``(Mesh, axis_name)`` — tensor-parallel backbone
     (Megatron column/row-sharded projections + shard_map head-local
-    attention).  Mesh is hashable, so it participates in the cache key."""
+    attention).  Mesh is hashable, so it participates in the cache key.
+
+    ``sp_shard``: optional ``(Mesh, axis_name)`` — sequence-parallel backbone
+    (token dim sharded + ring attention; ``parallel/sp.py``).  The
+    CLS-attention forward (pseudo-label parity contract) always runs
+    unsharded, same policy as the int8 path."""
     # Outputs stay in the COMPUTE dtype on the wire: on TPU the key
     # projection's bf16 epilogue means the f32 values are exact upcasts of
     # bf16 — casting on device would double the device-to-host bytes for
@@ -77,7 +84,7 @@ def _make_extract_fn(config: DinoConfig, compute_dtype, want_attn: bool, tp_shar
         def fwd(params, pixels, qparams):
             out = dino_forward(
                 params, pixels, cfg=config, compute_dtype=compute_dtype,
-                tp_shard=tp_shard, quant=qparams,
+                tp_shard=tp_shard, sp_shard=sp_shard, quant=qparams,
             )
             return out["key_features"]
 
@@ -104,7 +111,11 @@ class FeatureExtractor:
         the backbone runs TENSOR-PARALLEL — params sharded Megatron-style
         (``parallel/tp.py``), head-local shard_map attention — and batches
         are sharded over the ``data`` axis; config surface:
-        ``tpu_cfg.mesh = {"data": N, "model": M}``.
+        ``tpu_cfg.mesh = {"data": N, "model": M}``.  When a ``seq`` axis is
+        >1 the backbone runs SEQUENCE-PARALLEL instead — tokens sharded,
+        ring attention (``parallel/sp.py``), params replicated; the
+        resolution-scaling mode for high-res extraction
+        (``tpu_cfg.mesh = {"data": N, "seq": M}``).
 
         ``quantize="int8"``: W8A8 backbone linears on the MXU's 2x int8
         mode (``ops/quant.py``) — an opt-in SERVING path.  Parity surfaces
@@ -147,10 +158,29 @@ class FeatureExtractor:
                     f"{self.config.num_heads} attention heads not divisible "
                     f"by tpu_cfg.mesh model={mesh.shape['model']}"
                 )
+        self.sp_shard = None
+        if mesh is not None and mesh.shape.get("seq", 1) > 1:
+            if self.tp_shard is not None:
+                raise ValueError(
+                    "tpu_cfg.mesh with both model>1 and seq>1: 2D-sharded "
+                    "attention is not implemented — pick heads (model) or "
+                    "tokens (seq)"
+                )
+            if jax.process_count() > 1:
+                # same lockstep argument as TP above: extract() must stay
+                # per-process work under the data-sharded eval loops
+                raise NotImplementedError(
+                    "sequence-parallel feature extraction requires a "
+                    "single-process mesh (SP over the chips of one host); "
+                    "use data parallelism across processes"
+                )
+            self.sp_shard = (mesh, "seq")
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         if quantize is not None and self.tp_shard is not None:
             raise ValueError("int8 path is single-chip (TP weights are GSPMD-sharded)")
+        if quantize is not None and self.sp_shard is not None:
+            raise ValueError("int8 path is single-chip (SP shards the token dim)")
         self.quantize = quantize
         self._qparams = None
         self.params = self._load_params(seed)
@@ -165,6 +195,13 @@ class FeatureExtractor:
             self.logger.log(
                 f"FeatureExtractor: tensor-parallel backbone over "
                 f"model={mesh.shape['model']} (x data={mesh.shape.get('data', 1)})"
+            )
+        elif self.sp_shard is not None:
+            # params stay replicated under SP; only activations shard
+            self.logger.log(
+                f"FeatureExtractor: sequence-parallel backbone (ring "
+                f"attention) over seq={mesh.shape['seq']} "
+                f"(x data={mesh.shape.get('data', 1)})"
             )
 
     def _load_params(self, seed: int):
@@ -197,7 +234,11 @@ class FeatureExtractor:
         the last block's key projection (its attention/MLP, the final
         layernorm) on the feature-extraction path."""
         return _make_extract_fn(
-            self.config, self.compute_dtype, want_attn, self.tp_shard
+            self.config, self.compute_dtype, want_attn, self.tp_shard,
+            # the CLS-attention forward is the pseudo-label parity surface:
+            # it runs unsharded regardless of the SP mesh (dino_forward
+            # rejects sp_shard + want_cls_attention)
+            None if want_attn else self.sp_shard,
         )
 
     def _put_pixels(self, images_nhwc: np.ndarray):

@@ -334,6 +334,7 @@ def dino_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
     tp_shard: Optional[tuple] = None,  # (Mesh, axis): heads sharded over axis
+    sp_shard: Optional[tuple] = None,  # (Mesh, axis): TOKENS sharded over axis
     key_fold: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     quant: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -354,6 +355,16 @@ def dino_forward(
         768->F matmul instead of a 768->768 projection + f32 materialised
         key map + separate decoupling matmul.  Mutually exclusive with
         ``want_cls_attention`` (which needs the last layer's full q/k).
+      sp_shard: optional ``(Mesh, axis)`` — SEQUENCE-parallel backbone: the
+        token dim is padded to the axis size, sharded over it (GSPMD handles
+        every token-local op from one constraint on the residual stream) and
+        attention runs as ring attention (``parallel/sp.py`` — k/v chunks
+        rotate via ppermute with an online-softmax merge, so no chip ever
+        holds the full (L, L) score matrix).  The resolution-scaling axis
+        for high-res extraction; forward-path only, mutually exclusive with
+        ``tp_shard`` (2D attention sharding is not implemented), with
+        ``want_cls_attention`` (the pseudo-label parity contract runs
+        unsharded) and with ``quant``.
       quant: optional pytree from :func:`ucod_dpl_tpu.ops.quant.
         quantize_dino_linears` — routes every transformer-layer linear
         (q/k/v/out/fc1/fc2, and the key_fold matmul) through the int8
@@ -375,6 +386,20 @@ def dino_forward(
         "key_fold skips the last layer's q projection; CLS attention "
         "requires the unfolded forward"
     )
+    if sp_shard is not None:
+        # ValueError (not assert) for the same -O reason as the quant guards
+        if tp_shard is not None:
+            raise ValueError(
+                "sp_shard + tp_shard (2D-sharded attention) is not implemented; "
+                "pick heads (model axis) or tokens (seq axis)"
+            )
+        if want_cls_attention:
+            raise ValueError(
+                "pseudo-label generation is a bitwise parity contract; "
+                "run it on the unsharded forward"
+            )
+        if quant is not None:
+            raise ValueError("int8 path is single-chip; sp_shard shards tokens")
     if quant is not None:
         # ValueError, not assert: these guards protect a *parity contract*
         # and must survive `python -O` (a stripped assert would let the TP
@@ -437,6 +462,25 @@ def dino_forward(
     pos = interpolate_pos_embed(params["pos_embed"], (gh, gw), orig_grid)
     x = x + pos.astype(dtype)
 
+    # sequence-parallel entry: pad tokens to the ring size (ViT lengths are
+    # 1 + grid^2 — 2917 at 756px is prime), mask the padding, and constrain
+    # the residual stream's token dim onto the axis; GSPMD shards every
+    # token-local op (LN / projections / MLP) from this one annotation
+    seq_len = x.shape[1]
+    sp_valid = None
+    if sp_shard is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        sp_mesh, sp_axis = sp_shard
+        sp_n = sp_mesh.shape[sp_axis]
+        padded = -(-seq_len // sp_n) * sp_n
+        if padded != seq_len:
+            x = jnp.pad(x, ((0, 0), (0, padded - seq_len), (0, 0)))
+        sp_valid = jnp.broadcast_to(jnp.arange(padded) < seq_len, (b, padded))
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(sp_mesh, _P(None, sp_axis, None))
+        )
+
     scale = 1.0 / np.sqrt(cfg.head_dim)
     n_layers = len(params["layers"])
     out: Dict[str, jnp.ndarray] = {}
@@ -461,7 +505,7 @@ def dino_forward(
             q = dense_w8a8(h, layer["_q8"]["q"], dtype)
             k = dense_w8a8(h, layer["_q8"]["k"], dtype)
             v = dense_w8a8(h, layer["_q8"]["v"], dtype)
-        elif tp_shard is None and not is_last:
+        elif tp_shard is None and sp_shard is None and not is_last:
             q, k, v = layernorm_qkv(
                 x, layer["norm1"], layer["q"], layer["k"], layer["v"],
                 cfg.layer_norm_eps,
@@ -490,6 +534,13 @@ def dino_forward(
             attn = tp_multi_head_attention(
                 q, k, v, cfg.num_heads, scale=scale,
                 mesh=tp_shard[0], axis=tp_shard[1],
+            )
+        elif sp_shard is not None:
+            from ucod_dpl_tpu.parallel.sp import ring_attention
+
+            attn = ring_attention(
+                q, k, v, cfg.num_heads, scale=scale,
+                mesh=sp_shard[0], axis=sp_shard[1], valid=sp_valid,
             )
         else:
             attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)
@@ -548,11 +599,18 @@ def dino_forward(
                 # the f32 parity path (default TPU f32 matmuls drop to bf16
                 # passes)
                 folded = _dense(h, {"w": fw, "b": fb}, dtype)
-            out["folded_features"] = folded[:, 1:, :].reshape(b, gh, gw, fw.shape[-1])
+            # [1:seq_len]: drop CLS and (under sp_shard) the ring padding
+            out["folded_features"] = folded[:, 1:seq_len, :].reshape(
+                b, gh, gw, fw.shape[-1]
+            )
             return out
         x, aux = run_layer(x, layer, is_last)
         if aux:
             out.update(aux)
+    if sp_shard is not None and x.shape[1] != seq_len:
+        x = x[:, :seq_len]
+        if "key_tokens" in out:
+            out["key_tokens"] = out["key_tokens"][:, :seq_len]
     if "key_tokens" in out:
         out["key_features"] = out["key_tokens"][:, 1:, :].reshape(
             b, gh, gw, cfg.hidden_size

@@ -1,0 +1,186 @@
+"""Sequence-parallel (ring) attention over a mesh axis.
+
+Scales the backbone over the TOKEN dimension — the axis that actually grows
+with image resolution (518px -> 1370 tokens, 756px -> 2917, 1036px -> 5477;
+the reference caps at what one GPU's memory takes, ``base_dataset.py:124-144``
+extracts whole images single-device).  Each device holds an L/n token slice of
+q/k/v; k/v slices rotate around the ring via ``lax.ppermute`` (nearest-
+neighbour ICI traffic, no all-gather), and every hop folds one (L/n, L/n)
+score block into a running online-softmax accumulator — the flash-attention
+merge, so the full (L, L) score matrix never exists on any chip and activation
+memory per chip drops by n.
+
+Everything else in a ViT block (LayerNorm, q/k/v/out projections, MLP) is
+token-local, so GSPMD shards it over the same axis from one sharding
+constraint on the residual stream; ring attention is the only part that needs
+an explicit collective.  Config surface: ``tpu_cfg.mesh = {"data": N,
+"seq": M}`` (see ``data/feature_extractor.py``).
+
+Padding: ViT token counts are 1 + grid**2 (2917 at 756px is prime), so the
+token dim rarely divides a ring.  ``ring_attention`` therefore takes a
+``valid`` mask; padded KEY positions contribute exactly zero probability
+(their exp terms are multiplied by the mask, not just offset by a large
+negative), and padded QUERY rows produce finite garbage that the caller
+slices off.
+
+Forward/extraction path only (the high-resolution cache build and serving);
+training at these sequence lengths fits one chip (ViT-B activations at 2917
+tokens are ~100 MB/img with remat) — differentiating through the ring is not
+wired and the product surface never asks for it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, L, D) -> (B*H, L, hd), batch-major then head (matches
+    ops/attention.py::multi_head_attention's layout)."""
+    b, l, d = x.shape
+    hd = d // num_heads
+    return x.reshape(b, l, num_heads, hd).transpose(0, 2, 1, 3).reshape(b * num_heads, l, hd)
+
+
+def _merge_heads(x: jnp.ndarray, b: int, num_heads: int) -> jnp.ndarray:
+    bh, l, hd = x.shape
+    return x.reshape(b, num_heads, l, hd).transpose(0, 2, 1, 3).reshape(b, l, num_heads * hd)
+
+
+# Finite stand-in for -inf: keeps the m/alpha recurrence NaN-free when a whole
+# incoming chunk is masked (exp(-1e30 - m) underflows to 0; exp(m - m) hits
+# exp(0) only when o and s are still exactly zero, where alpha=1 is harmless).
+_NEG = -1e30
+
+
+def _ring_body(qh, k_c, v_c, mask_c, m, s, o, *, scale: float, num_heads: int):
+    """One online-softmax merge of the resident k/v chunk into (m, s, o).
+
+    qh: (B*H, Lq, hd) f32; k_c/v_c: (B*H, Lk, hd) f32; mask_c: (B, Lk) bool.
+    """
+    bh = qh.shape[0]
+    b = bh // num_heads
+    lk = k_c.shape[1]
+    mask_bh = jnp.broadcast_to(mask_c[:, None, :], (b, num_heads, lk)).reshape(bh, lk)
+
+    scores = (
+        jnp.einsum("bqd,bkd->bqk", qh, k_c, preferred_element_type=jnp.float32)
+        * scale
+    )
+    scores = jnp.where(mask_bh[:, None, :], scores, _NEG)
+    m_c = jnp.max(scores, axis=-1)
+    m_new = jnp.maximum(m, m_c)
+    # exp is taken on the MASKED scores and multiplied by the mask again:
+    # when the whole chunk is masked, scores - m_new == 0 and exp gives 1 —
+    # the multiply is what pins those lanes to exactly zero.
+    p = jnp.exp(scores - m_new[..., None]) * mask_bh[:, None, :].astype(jnp.float32)
+    alpha = jnp.exp(m - m_new)
+    o = o * alpha[..., None] + jnp.einsum(
+        "bqk,bkd->bqd", p, v_c, preferred_element_type=jnp.float32
+    )
+    s = s * alpha + jnp.sum(p, axis=-1)
+    return m_new, s, o
+
+
+def _local_ring(
+    ql, kl, vl, maskl, *, num_heads: int, scale: float, axis: str, n_steps: int
+):
+    """shard_map body: local q against the full ring of k/v chunks."""
+    b, lq, d = ql.shape
+    hd = d // num_heads
+    qh = _split_heads(ql, num_heads).astype(jnp.float32)
+    k0 = _split_heads(kl, num_heads).astype(jnp.float32)
+    v0 = _split_heads(vl, num_heads).astype(jnp.float32)
+
+    bh = b * num_heads
+    perm = [(i, (i + 1) % n_steps) for i in range(n_steps)]
+
+    def body(_, carry):
+        k_c, v_c, mask_c, m, s, o = carry
+        m, s, o = _ring_body(
+            qh, k_c, v_c, mask_c, m, s, o, scale=scale, num_heads=num_heads
+        )
+        k_c = jax.lax.ppermute(k_c, axis, perm)
+        v_c = jax.lax.ppermute(v_c, axis, perm)
+        mask_c = jax.lax.ppermute(mask_c, axis, perm)
+        return k_c, v_c, mask_c, m, s, o
+
+    def _varying(x):
+        # the loop carry must be typed as device-varying over the ring axis
+        # (the body's outputs are); plain zeros/full constants are not
+        try:
+            return jax.lax.pcast(x, (axis,), to="varying")
+        except AttributeError:  # older jax: no vma tracking, nothing to do
+            return x
+
+    init = (
+        k0,
+        v0,
+        maskl,
+        _varying(jnp.full((bh, lq), _NEG, jnp.float32)),
+        _varying(jnp.zeros((bh, lq), jnp.float32)),
+        _varying(jnp.zeros((bh, lq, hd), jnp.float32)),
+    )
+    *_, m, s, o = jax.lax.fori_loop(0, n_steps, body, init)
+    # every query row sees ALL keys over the ring and at least one global key
+    # is real (CLS), so s > 0 everywhere — including padded query rows, whose
+    # finite junk the caller slices away
+    out = (o / s[..., None]).astype(ql.dtype)
+    return _merge_heads(out, b, num_heads)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "seq",
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel attention: (B, L, D) with L sharded over ``axis``.
+
+    ``valid``: optional (B, L) bool; False marks padding tokens whose keys
+    must contribute nothing.  L must divide by the axis size (pad first).
+    Accumulation is f32 regardless of input dtype (the flash contract).
+    """
+    n = mesh.shape[axis]
+    b, l, _ = q.shape
+    if valid is None:
+        valid = jnp.ones((b, l), bool)
+    if n == 1:
+        # same math without the ring: one masked merge over the whole L
+        qh = _split_heads(q, num_heads).astype(jnp.float32)
+        m = jnp.full(qh.shape[:2], _NEG, jnp.float32)
+        s = jnp.zeros(qh.shape[:2], jnp.float32)
+        o = jnp.zeros_like(qh)
+        m, s, o = _ring_body(
+            qh,
+            _split_heads(k, num_heads).astype(jnp.float32),
+            _split_heads(v, num_heads).astype(jnp.float32),
+            valid,
+            m, s, o,
+            scale=scale,
+            num_heads=num_heads,
+        )
+        return _merge_heads((o / s[..., None]).astype(q.dtype), b, num_heads)
+    if l % n:
+        raise ValueError(f"token dim {l} not divisible by mesh axis {axis}={n}; pad first")
+
+    spec3 = P(None, axis, None)
+    fn = jax.shard_map(
+        functools.partial(
+            _local_ring, num_heads=num_heads, scale=float(scale), axis=axis, n_steps=n
+        ),
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec3, P(None, axis)),
+        out_specs=spec3,
+    )
+    return fn(q, k, v, valid)
