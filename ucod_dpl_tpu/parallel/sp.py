@@ -88,7 +88,8 @@ def _ring_body(qh, k_c, v_c, mask_c, m, s, o, *, scale: float, num_heads: int):
 
 
 def _local_ring(
-    ql, kl, vl, maskl, *, num_heads: int, scale: float, axis: str, n_steps: int
+    ql, kl, vl, maskl, *, num_heads: int, scale: float, axis: str, n_steps: int,
+    vary_axes: tuple,
 ):
     """shard_map body: local q against the full ring of k/v chunks."""
     b, lq, d = ql.shape
@@ -111,10 +112,11 @@ def _local_ring(
         return k_c, v_c, mask_c, m, s, o
 
     def _varying(x):
-        # the loop carry must be typed as device-varying over the ring axis
-        # (the body's outputs are); plain zeros/full constants are not
+        # the loop carry must be typed as device-varying over every manual
+        # axis the inputs vary over (ring axis, plus the batch axis when the
+        # batch is sharded); plain zeros/full constants are not
         try:
-            return jax.lax.pcast(x, (axis,), to="varying")
+            return jax.lax.pcast(x, vary_axes, to="varying")
         except AttributeError:  # older jax: no vma tracking, nothing to do
             return x
 
@@ -174,13 +176,26 @@ def ring_attention(
     if l % n:
         raise ValueError(f"token dim {l} not divisible by mesh axis {axis}={n}; pad first")
 
-    spec3 = P(None, axis, None)
+    # shard the batch over `data` too when it divides: an in_spec that omits
+    # `data` declares the operands replicated over it, and GSPMD would
+    # all-gather the batch so every data-group redundantly attends over the
+    # GLOBAL batch.  (Non-divisible batches — bs=1 eval on a wide mesh —
+    # keep the replicated fallback: redundant but correct.)
+    b_axis = (
+        "data"
+        if "data" in mesh.axis_names
+        and mesh.shape["data"] > 1
+        and b % mesh.shape["data"] == 0
+        else None
+    )
+    spec3 = P(b_axis, axis, None)
     fn = jax.shard_map(
         functools.partial(
-            _local_ring, num_heads=num_heads, scale=float(scale), axis=axis, n_steps=n
+            _local_ring, num_heads=num_heads, scale=float(scale), axis=axis,
+            n_steps=n, vary_axes=(axis,) if b_axis is None else (b_axis, axis),
         ),
         mesh=mesh,
-        in_specs=(spec3, spec3, spec3, P(None, axis)),
+        in_specs=(spec3, spec3, spec3, P(b_axis, axis)),
         out_specs=spec3,
     )
     return fn(q, k, v, valid)
