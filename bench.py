@@ -396,235 +396,272 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
             file=sys.stderr,
         )
 
+    def guarded(label, section):
+        # extras are fault-ISOLATED: each runs its own (long) remote
+        # compiles, and a transient tunnel fault there previously raised out
+        # of the whole bench and lost the already-measured headline number
+        # (observed: "remote_compile: response body closed" during the LoRA
+        # backward compile).  A failing extra is omitted with its cause on
+        # stderr — same contract as the absurd-timing omission — and the
+        # remaining extras still get their attempt.
+        try:
+            section()
+        except Exception as e:  # noqa: BLE001 — any extra failure is non-fatal
+            print(
+                f"bench.py: extra omitted [{label}] — "
+                f"{type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
+
     # ---- 756px cache build ------------------------------------------------
     cb_batch, cb_img = (2, 126) if tiny else (8, 756)
 
-    @jax.jit
-    def cache_many(params, pixels, n):
-        def body(i, acc):
-            out = dino_forward(
-                params,
-                pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
-                cfg,
-                compute_dtype=compute_dtype,
-            )
-            return acc + jnp.sum(out["key_features"].astype(jnp.float32) ** 2).astype(
-                jnp.float32
-            )
+    def _cache_build_extra():
+        @jax.jit
+        def cache_many(params, pixels, n):
+            def body(i, acc):
+                out = dino_forward(
+                    params,
+                    pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
+                    cfg,
+                    compute_dtype=compute_dtype,
+                )
+                return acc + jnp.sum(
+                    out["key_features"].astype(jnp.float32) ** 2
+                ).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    cb_pixels = jnp.asarray(
-        rng.standard_normal((cb_batch, cb_img, cb_img, 3)).astype(np.float32)
-    )
-    cb_iters = 4
-    float(cache_many(backbone, cb_pixels, 1))  # compile + warm
-    dt, one, many = _min_marginal_rate(
-        lambda: float(cache_many(backbone, cb_pixels, 1)),
-        lambda: float(cache_many(backbone, cb_pixels, cb_iters + 1)),
-    )
-    if dt > 0 and cb_batch * cb_iters / dt < 50_000:
-        entry = {
-            "metric": "756px feature-cache build (dinov2-base, unfolded)",
-            "value": round(cb_batch * cb_iters / dt, 2),
-            "unit": "img/s",
-        }
-        # self-certify like the headline: analytic FLOPs of the UNFOLDED
-        # forward at the cache-build resolution vs the chip's bf16 peak
-        cb_peak = _peak_bf16_tflops(jax.devices()[0].device_kind)
-        if cb_peak and jax.default_backend() == "tpu":
-            cb_flops = _analytic_backbone_flops_per_img(cfg, cb_img)
-            entry["mfu"] = round(entry["value"] * cb_flops / (cb_peak * 1e12), 4)
-        extras.append(entry)
-    else:
-        omit("756px feature-cache build", one, many)
+        cb_pixels = jnp.asarray(
+            rng.standard_normal((cb_batch, cb_img, cb_img, 3)).astype(np.float32)
+        )
+        cb_iters = 4
+        float(cache_many(backbone, cb_pixels, 1))  # compile + warm
+        dt, one, many = _min_marginal_rate(
+            lambda: float(cache_many(backbone, cb_pixels, 1)),
+            lambda: float(cache_many(backbone, cb_pixels, cb_iters + 1)),
+        )
+        if dt > 0 and cb_batch * cb_iters / dt < 50_000:
+            entry = {
+                "metric": "756px feature-cache build (dinov2-base, unfolded)",
+                "value": round(cb_batch * cb_iters / dt, 2),
+                "unit": "img/s",
+            }
+            # self-certify like the headline: analytic FLOPs of the UNFOLDED
+            # forward at the cache-build resolution vs the chip's bf16 peak
+            cb_peak = _peak_bf16_tflops(jax.devices()[0].device_kind)
+            if cb_peak and jax.default_backend() == "tpu":
+                cb_flops = _analytic_backbone_flops_per_img(cfg, cb_img)
+                entry["mfu"] = round(entry["value"] * cb_flops / (cb_peak * 1e12), 4)
+            extras.append(entry)
+        else:
+            omit("756px feature-cache build", one, many)
+
+    guarded("756px feature-cache build", _cache_build_extra)
 
     # ---- stage-1 train step ------------------------------------------------
     from ucod_dpl_tpu.config import CfgNode
 
-    tcfg = CfgNode(
-        {
-            "model_cfg": {
-                "dim": cfg.hidden_size, "feature_size": 68,
-                "ema_weight": 0.99, "dis_use_features": False,
-            },
-            "train_cfg": {
-                "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",
-                "lr0": 2e-4, "dis_lr0": 1e-3,
-                "step_lr_gamma": 0.95, "step_lr_size": 25,
-            },
-            "log_cfg": {"log_interval": 50},
-        }
-    )
-    optimizer = make_optimizer(2e-4, 0.95, 25)
-    dis_optimizer = make_optimizer(1e-3, 0.95, 25)
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
-    dec = init_rev_decoder(k1, cfg.hidden_size)
-    ema = init_rev_decoder(k2, cfg.hidden_size)
-    dis_p, dis_s = init_discriminator(k3, feature_size=68, use_features=False)
-    state = TrainState(
-        decoder=dec,
-        decoder_ema=ema,
-        opt_state=optimizer.init(dec),
-        dis_params=dis_p,
-        dis_stats=dis_s,
-        dis_opt_state=dis_optimizer.init(dis_p),
-        ema_step=jnp.zeros((), jnp.int32),
-    )
-    step = jax.jit(make_train_step(tcfg, optimizer))
-    tr_batch = 2 if tiny else 16
-    feats = jnp.asarray(
-        rng.standard_normal((tr_batch, 37, 37, cfg.hidden_size)).astype(np.float32)
-    )
-    plabels = jnp.asarray(
-        (rng.random((tr_batch, 37, 37, 1)) > 0.5).astype(np.float32)
-    )
-    epoch = jnp.float32(1.0)
-    adv = jnp.float32(1.0)
+    def _make_state():
+        optimizer = make_optimizer(2e-4, 0.95, 25)
+        dis_optimizer = make_optimizer(1e-3, 0.95, 25)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        dec = init_rev_decoder(k1, cfg.hidden_size)
+        ema = init_rev_decoder(k2, cfg.hidden_size)
+        dis_p, dis_s = init_discriminator(k3, feature_size=68, use_features=False)
+        return optimizer, TrainState(
+            decoder=dec,
+            decoder_ema=ema,
+            opt_state=optimizer.init(dec),
+            dis_params=dis_p,
+            dis_stats=dis_s,
+            dis_opt_state=dis_optimizer.init(dis_p),
+            ema_step=jnp.zeros((), jnp.int32),
+        )
 
-    def run_steps(n):
-        s = state
-        aux = None
-        for _ in range(n):
-            s, aux = step(s, feats, plabels, epoch, adv)
-        float(aux["loss"])  # sync
-
-    run_steps(1)  # compile + warm
-    tr_iters = 8
-    dt, one, many = _min_marginal_rate(
-        lambda: run_steps(1), lambda: run_steps(tr_iters + 1)
-    )
-    # a bs16 stage-1 step is milliseconds of real work; sub-0.1ms implies
-    # the marginal subtraction was eaten by host noise
-    if dt > 0 and dt / tr_iters > 1e-4:
-        extras.append(
+    def _train_step_extra():
+        tcfg = CfgNode(
             {
-                "metric": "stage-1 train step (bs16 cached features, shipped config)",
-                "value": round(dt / tr_iters * 1e3, 2),
-                "unit": "ms/step",
+                "model_cfg": {
+                    "dim": cfg.hidden_size, "feature_size": 68,
+                    "ema_weight": 0.99, "dis_use_features": False,
+                },
+                "train_cfg": {
+                    "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",
+                    "lr0": 2e-4, "dis_lr0": 1e-3,
+                    "step_lr_gamma": 0.95, "step_lr_size": 25,
+                },
+                "log_cfg": {"log_interval": 50},
             }
         )
-    else:
-        omit("stage-1 train step", one, many)
+        optimizer, state = _make_state()
+        step = jax.jit(make_train_step(tcfg, optimizer))
+        tr_batch = 2 if tiny else 16
+        feats = jnp.asarray(
+            rng.standard_normal((tr_batch, 37, 37, cfg.hidden_size)).astype(np.float32)
+        )
+        plabels = jnp.asarray(
+            (rng.random((tr_batch, 37, 37, 1)) > 0.5).astype(np.float32)
+        )
+        epoch = jnp.float32(1.0)
+        adv = jnp.float32(1.0)
+
+        def run_steps(n):
+            s = state
+            aux = None
+            for _ in range(n):
+                s, aux = step(s, feats, plabels, epoch, adv)
+            float(aux["loss"])  # sync
+
+        run_steps(1)  # compile + warm
+        tr_iters = 8
+        dt, one, many = _min_marginal_rate(
+            lambda: run_steps(1), lambda: run_steps(tr_iters + 1)
+        )
+        # a bs16 stage-1 step is milliseconds of real work; sub-0.1ms implies
+        # the marginal subtraction was eaten by host noise
+        if dt > 0 and dt / tr_iters > 1e-4:
+            extras.append(
+                {
+                    "metric": "stage-1 train step (bs16 cached features, shipped config)",
+                    "value": round(dt / tr_iters * 1e3, 2),
+                    "unit": "ms/step",
+                }
+            )
+        else:
+            omit("stage-1 train step", one, many)
+
+    guarded("stage-1 train step", _train_step_extra)
 
     # ---- LoRA joint train step (live backbone, flash VJP + remat) ---------
     # the heaviest training composition the framework ships: pixels ->
     # LoRA-adapted ViT-B -> decoder loss, grads to adapters AND decoder
     # (model_cfg.lora.enable).  Its backward is a separate (long) remote
     # compile — skippable with UCOD_BENCH_FAST=1 like the other extras.
-    from ucod_dpl_tpu.engine.train_step import make_lora_train_step
-    from ucod_dpl_tpu.models.lora import init_lora
+    def _lora_extra():
+        from ucod_dpl_tpu.engine.train_step import make_lora_train_step
+        from ucod_dpl_tpu.models.lora import init_lora
 
-    ltcfg = CfgNode(
-        {
-            "model_cfg": {
-                "dim": cfg.hidden_size, "feature_size": 68,
-                "ema_weight": 0.99, "dis_use_features": False,
-                "lora": {"rank": 2, "alpha": 4.0, "remat": True},
-            },
-            "train_cfg": {
-                "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",
-                "lr0": 2e-4, "dis_lr0": 1e-3,
-                "step_lr_gamma": 0.95, "step_lr_size": 25,
-            },
-            "log_cfg": {"log_interval": 50},
-        }
-    )
-    lora_opt = make_optimizer(1e-4, 0.95, 25)
-    lora_params = init_lora(jax.random.PRNGKey(9), backbone, rank=2)
-    lora_opt_state = lora_opt.init(lora_params)
-    lstep = jax.jit(
-        make_lora_train_step(ltcfg, optimizer, lora_opt, cfg, compute_dtype)
-    )
-    lr_batch, lr_img = (2, 126) if tiny else (16, 518)
-    lpixels = jnp.asarray(
-        rng.standard_normal((lr_batch, lr_img, lr_img, 3)).astype(np.float32)
-    )
-    lplabels = jnp.asarray(
-        (rng.random((lr_batch, 37, 37, 1)) > 0.5).astype(np.float32)
-    )
-    lstate = state  # fresh TrainState from the cached-feature bench above
-
-    def run_lora_steps(n):
-        s, lp, lo = lstate, lora_params, lora_opt_state
-        aux = None
-        for _ in range(n):
-            s, lp, lo, aux = lstep(
-                s, lp, lo, backbone, lpixels, lplabels,
-                jnp.float32(1.0), jnp.float32(1.0),
-            )
-        float(aux["loss"])  # sync
-
-    run_lora_steps(1)  # compile + warm (the big backward compile)
-    lr_iters = 4
-    dt, one, many = _min_marginal_rate(
-        lambda: run_lora_steps(1), lambda: run_lora_steps(lr_iters + 1)
-    )
-    if dt > 0 and dt / lr_iters > 1e-3:  # a live-backbone bwd is >> 1ms
-        extras.append(
+        ltcfg = CfgNode(
             {
-                "metric": "LoRA joint train step (bs16 live 518px backbone)",
-                "value": round(dt / lr_iters * 1e3, 2),
-                "unit": "ms/step",
+                "model_cfg": {
+                    "dim": cfg.hidden_size, "feature_size": 68,
+                    "ema_weight": 0.99, "dis_use_features": False,
+                    "lora": {"rank": 2, "alpha": 4.0, "remat": True},
+                },
+                "train_cfg": {
+                    "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",
+                    "lr0": 2e-4, "dis_lr0": 1e-3,
+                    "step_lr_gamma": 0.95, "step_lr_size": 25,
+                },
+                "log_cfg": {"log_interval": 50},
             }
         )
-    else:
-        omit("LoRA joint train step", one, many)
+        optimizer, lstate = _make_state()
+        lora_opt = make_optimizer(1e-4, 0.95, 25)
+        lora_params = init_lora(jax.random.PRNGKey(9), backbone, rank=2)
+        lora_opt_state = lora_opt.init(lora_params)
+        lstep = jax.jit(
+            make_lora_train_step(ltcfg, optimizer, lora_opt, cfg, compute_dtype)
+        )
+        lr_batch, lr_img = (2, 126) if tiny else (16, 518)
+        lpixels = jnp.asarray(
+            rng.standard_normal((lr_batch, lr_img, lr_img, 3)).astype(np.float32)
+        )
+        lplabels = jnp.asarray(
+            (rng.random((lr_batch, 37, 37, 1)) > 0.5).astype(np.float32)
+        )
+
+        def run_lora_steps(n):
+            s, lp, lo = lstate, lora_params, lora_opt_state
+            aux = None
+            for _ in range(n):
+                s, lp, lo, aux = lstep(
+                    s, lp, lo, backbone, lpixels, lplabels,
+                    jnp.float32(1.0), jnp.float32(1.0),
+                )
+            float(aux["loss"])  # sync
+
+        run_lora_steps(1)  # compile + warm (the big backward compile)
+        lr_iters = 4
+        dt, one, many = _min_marginal_rate(
+            lambda: run_lora_steps(1), lambda: run_lora_steps(lr_iters + 1)
+        )
+        if dt > 0 and dt / lr_iters > 1e-3:  # a live-backbone bwd is >> 1ms
+            extras.append(
+                {
+                    "metric": "LoRA joint train step (bs16 live 518px backbone)",
+                    "value": round(dt / lr_iters * 1e3, 2),
+                    "unit": "ms/step",
+                }
+            )
+        else:
+            omit("LoRA joint train step", one, many)
+
+    guarded("LoRA joint train step", _lora_extra)
 
     # ---- int8 W8A8 serving eval --------------------------------------------
     # the opt-in quantized serving path (ops/quant.py): the SAME 518px live
     # composition as the primary metric, with every transformer linear in
     # the MXU's 2x int8 mode (v5e: 394 TOPS vs 197 bf16 TFLOPS).  Reported
     # as an extra — the headline stays the bf16 parity composition.
-    from ucod_dpl_tpu.models.dba import fg_logits_live
-    from ucod_dpl_tpu.ops.quant import quantize_dino_linears
-    from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
+    def _int8_extra():
+        from ucod_dpl_tpu.models.dba import fg_logits_live
+        from ucod_dpl_tpu.ops.quant import quantize_dino_linears
+        from ucod_dpl_tpu.ops.resize import interpolate_bilinear_nhwc
 
-    q_batch, q_img = (2, 126) if tiny else (32, 518)
-    qparams = jax.jit(quantize_dino_linears)(backbone)
-    q_decoder = init_rev_decoder(jax.random.PRNGKey(11), cfg.hidden_size)
+        q_batch, q_img = (2, 126) if tiny else (32, 518)
+        qparams = jax.jit(quantize_dino_linears)(backbone)
+        q_decoder = init_rev_decoder(jax.random.PRNGKey(11), cfg.hidden_size)
 
-    @jax.jit
-    def int8_many(params, qp, dec_params, pixels, n):
-        def body(i, acc):
-            fg, _, _ = fg_logits_live(
-                params, dec_params, pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
-                cfg, compute_dtype=compute_dtype, size=68, quant=qp,
-            )
-            up = interpolate_bilinear_nhwc(fg, (q_img, q_img))[..., 0]
-            return acc + jnp.sum((jax.nn.sigmoid(up) > 0.5).astype(jnp.int32))
+        @jax.jit
+        def int8_many(params, qp, dec_params, pixels, n):
+            def body(i, acc):
+                fg, _, _ = fg_logits_live(
+                    params, dec_params,
+                    pixels + (acc % 3).astype(pixels.dtype) * 1e-6,
+                    cfg, compute_dtype=compute_dtype, size=68, quant=qp,
+                )
+                up = interpolate_bilinear_nhwc(fg, (q_img, q_img))[..., 0]
+                return acc + jnp.sum((jax.nn.sigmoid(up) > 0.5).astype(jnp.int32))
 
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    q_pixels = jnp.asarray(
-        rng.standard_normal((q_batch, q_img, q_img, 3)).astype(np.float32)
-    )
-    q_iters = 8
-    int(int8_many(backbone, qparams, q_decoder, q_pixels, 1))  # compile + warm
-    dt, one, many = _min_marginal_rate(
-        lambda: int(int8_many(backbone, qparams, q_decoder, q_pixels, 1)),
-        lambda: int(int8_many(backbone, qparams, q_decoder, q_pixels, q_iters + 1)),
-    )
-    if dt > 0 and q_batch * q_iters / dt < 50_000:
-        entry = {
-            "metric": "518px eval, int8 W8A8 backbone (opt-in serving path)",
-            "value": round(q_batch * q_iters / dt, 2),
-            "unit": "img/s",
-        }
-        # utilization vs the chip's INT8 peak.  Slight undercount by
-        # construction: the attention (~23% of FLOPs) stays bf16, so its
-        # ops are charged at half their true cost share — honest in the
-        # right direction, like the headline's excluded decoder FLOPs.
-        int8_peak = _peak_int8_tops(jax.devices()[0].device_kind)
-        if int8_peak and jax.default_backend() == "tpu":
-            q_flops = _analytic_backbone_flops_per_img(cfg, q_img, key_fold_dim=128)
-            entry["mfu_vs_int8_peak"] = round(
-                entry["value"] * q_flops / (int8_peak * 1e12), 4
-            )
-            entry["peak_int8_tops"] = int8_peak
-        extras.append(entry)
-    else:
-        omit("int8 W8A8 backbone", one, many)
+        q_pixels = jnp.asarray(
+            rng.standard_normal((q_batch, q_img, q_img, 3)).astype(np.float32)
+        )
+        q_iters = 8
+        int(int8_many(backbone, qparams, q_decoder, q_pixels, 1))  # compile + warm
+        dt, one, many = _min_marginal_rate(
+            lambda: int(int8_many(backbone, qparams, q_decoder, q_pixels, 1)),
+            lambda: int(
+                int8_many(backbone, qparams, q_decoder, q_pixels, q_iters + 1)
+            ),
+        )
+        if dt > 0 and q_batch * q_iters / dt < 50_000:
+            entry = {
+                "metric": "518px eval, int8 W8A8 backbone (opt-in serving path)",
+                "value": round(q_batch * q_iters / dt, 2),
+                "unit": "img/s",
+            }
+            # utilization vs the chip's INT8 peak.  Slight undercount by
+            # construction: the attention (~23% of FLOPs) stays bf16, so its
+            # ops are charged at half their true cost share — honest in the
+            # right direction, like the headline's excluded decoder FLOPs.
+            int8_peak = _peak_int8_tops(jax.devices()[0].device_kind)
+            if int8_peak and jax.default_backend() == "tpu":
+                q_flops = _analytic_backbone_flops_per_img(
+                    cfg, q_img, key_fold_dim=128
+                )
+                entry["mfu_vs_int8_peak"] = round(
+                    entry["value"] * q_flops / (int8_peak * 1e12), 4
+                )
+                entry["peak_int8_tops"] = int8_peak
+            extras.append(entry)
+        else:
+            omit("int8 W8A8 backbone", one, many)
+
+    guarded("int8 W8A8 backbone", _int8_extra)
     return extras
 
 

@@ -23,10 +23,17 @@ token dim rarely divides a ring.  ``ring_attention`` therefore takes a
 negative), and padded QUERY rows produce finite garbage that the caller
 slices off.
 
-Forward/extraction path only (the high-resolution cache build and serving);
-training at these sequence lengths fits one chip (ViT-B activations at 2917
-tokens are ~100 MB/img with remat) — differentiating through the ring is not
-wired and the product surface never asks for it.
+Differentiable: ``ring_attention`` carries a custom VJP whose backward is
+its own ring (flash-attention backward over rotating chunks).  The forward
+saves only the per-query logsumexp — probabilities are recomputed per chunk
+from ``exp(scores - lse)``, so the backward's memory is the same L/n slice
+economics as the forward (a ``lax.scan``-autodiff'd ring would store every
+(L/n, L/n) probability block and reconstitute the full score matrix across
+the ring).  dk/dv accumulators ride the ring WITH their k/v chunk and are
+home after n hops; dq accumulates locally.  This is what lets LoRA
+fine-tuning at 756px+ shard its activation memory over the ``seq`` axis
+instead of shrinking the batch (the reference's only lever,
+``base_dataset.py:124-144`` extracts whole images single-device).
 """
 
 from __future__ import annotations
