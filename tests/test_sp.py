@@ -187,6 +187,129 @@ def test_sp_reaches_runner_surface(tmp_path):
     np.testing.assert_allclose(sp_feats, plain.extract(px), rtol=2e-4, atol=2e-5)
 
 
+def test_ring_attention_vjp_matches_dense_grads():
+    """The ring's custom VJP (flash-style backward ring, logsumexp residual)
+    against autodiff of dense attention — with padding AND a batch-sharded
+    mesh, so dk/dv ride the ring home and masked keys get exact zeros."""
+    b, l_valid, l_pad, d, nh, scale = 2, 19, 24, 128, 8, 0.125
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, l_pad, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    valid = jnp.broadcast_to(jnp.arange(l_pad) < l_valid, (b, l_pad))
+    w = jnp.asarray(rng.standard_normal((b, l_valid, d)).astype(np.float32))
+
+    def loss_dense(q, k, v):
+        o = multi_head_attention(
+            q[:, :l_valid], k[:, :l_valid], v[:, :l_valid], nh, scale=scale
+        )
+        return jnp.sum(o * w)
+
+    ref = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for mesh_cfg in ({"data": 2, "seq": 4}, {"seq": 8}):
+        mesh = build_mesh(mesh_cfg)
+
+        def loss_ring(q, k, v, m=mesh):
+            o = ring_attention(
+                q, k, v, nh, scale=scale, mesh=m, axis="seq", valid=valid
+            )
+            return jnp.sum(o[:, :l_valid] * w)
+
+        got = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+        for name, a, r in zip("qkv", got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-5,
+                err_msg=f"d{name} mismatch on mesh {mesh_cfg}",
+            )
+            # padded-key rows must receive EXACT zeros (mask, not epsilon)
+            if name in "kv":
+                assert np.all(np.asarray(a)[:, l_valid:] == 0.0)
+
+
+def test_sp_lora_train_step_matches_unsharded():
+    """The full differentiated product composition under SP: one LoRA joint
+    train step (remat on, ring VJP, pad/mask/slice) on a DPxSP mesh must
+    produce the same decoder AND adapter updates as the unsharded step."""
+    from ucod_dpl_tpu.config import CfgNode
+    from ucod_dpl_tpu.engine.train_step import (
+        TrainState,
+        make_lora_train_step,
+        make_optimizer,
+    )
+    from ucod_dpl_tpu.models.dba import init_rev_decoder
+    from ucod_dpl_tpu.models.discriminator import init_discriminator
+    from ucod_dpl_tpu.models.lora import init_lora
+
+    cfg = CfgNode(
+        {
+            "model_cfg": {
+                "dim": 128, "feature_size": 8, "ema_weight": 0.99,
+                "dis_use_features": False,
+                "lora": {"enable": True, "rank": 2, "alpha": 4.0, "remat": True},
+            },
+            "train_cfg": {"merge_method": "dis", "max_epoch": 25,
+                          "start_finetune": -5},
+        }
+    )
+    backbone = init_dino(jax.random.PRNGKey(2), CFG)  # 5 tokens -> pad to 8
+    lora0 = init_lora(jax.random.PRNGKey(3), backbone, rank=2)
+    opt = make_optimizer(2e-4, 0.95, 25)
+    dis_opt = make_optimizer(1e-3, 0.95, 25)
+    lora_opt = make_optimizer(1e-4, 0.95, 25)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    dec = init_rev_decoder(k1, 128)
+    dis_params, dis_stats = init_discriminator(
+        jax.random.PRNGKey(1), feature_size=8, feature_dim=128, use_features=False
+    )
+    state0 = TrainState(
+        decoder=dec, decoder_ema=init_rev_decoder(k2, 128),
+        opt_state=opt.init(dec), dis_params=dis_params, dis_stats=dis_stats,
+        dis_opt_state=dis_opt.init(dis_params), ema_step=jnp.int32(0),
+    )
+    rng = np.random.default_rng(42)
+    px = jnp.asarray(rng.standard_normal((4, 28, 28, 3)).astype(np.float32))
+    pl = jnp.asarray((rng.random((4, 8, 8, 1)) > 0.5).astype(np.float32))
+    args = (jnp.float32(0.0), jnp.float32(1.0))
+
+    ref_step = jax.jit(make_lora_train_step(cfg, opt, lora_opt, CFG, jnp.float32))
+    s_ref, lora_ref, _, aux_ref = ref_step(
+        state0, lora0, lora_opt.init(lora0), backbone, px, pl, *args
+    )
+
+    mesh = build_mesh({"data": 2, "seq": 4})
+    sp_step = jax.jit(
+        make_lora_train_step(
+            cfg, opt, lora_opt, CFG, jnp.float32, sp_shard=(mesh, "seq")
+        )
+    )
+    px_sh = jax.device_put(px, NamedSharding(mesh, P("data", None, None, None)))
+    s_sp, lora_sp, _, aux_sp = sp_step(
+        state0, lora0, lora_opt.init(lora0), backbone, px_sh, pl, *args
+    )
+
+    np.testing.assert_allclose(
+        float(aux_sp["loss"]), float(aux_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(aux_sp["lora_grad_norm"]), float(aux_ref["lora_grad_norm"]), rtol=1e-4
+    )
+    # parameter tolerance is the FIRST-ADAM-STEP scale, not grad precision:
+    # with a fresh optimizer state the update is ~ +-lr * sign(g), so ring
+    # reduction-order noise (~1e-7) on near-zero gradient elements becomes a
+    # full lr-sized (2e-4 / 1e-4) difference.  Gradient math itself is pinned
+    # at 1e-5 by test_ring_attention_vjp_matches_dense_grads; here we pin
+    # that no element moved MORE than one Adam step apart.
+    for a, r in zip(jax.tree.leaves(lora_sp), jax.tree.leaves(lora_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=1e-3, atol=2.5e-4
+        )
+    for a, r in zip(jax.tree.leaves(s_sp.decoder), jax.tree.leaves(s_ref.decoder)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=1e-3, atol=4.5e-4
+        )
+
+
 def test_sp_extractor_rejects_tp_and_int8_combos(tmp_path):
     import sys
 

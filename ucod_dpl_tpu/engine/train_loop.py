@@ -105,10 +105,14 @@ class TrainLoop:
                 rank=int(lc.get("rank", 2)),
             )
             self.lora_opt_state = self.lora_optimizer.init(self.lora_params)
+            # a seq mesh axis (tpu_cfg.mesh = {"data": N, "seq": M}) shards
+            # the adapted backbone's TOKEN dim during training too: ring
+            # attention carries its own VJP (parallel/sp.py), so this is the
+            # activation-memory lever for high-resolution fine-tuning
             self._lora_step = jax.jit(
                 make_lora_train_step(
                     cfg, self.optimizer, self.lora_optimizer, fe.config,
-                    fe.compute_dtype,
+                    fe.compute_dtype, sp_shard=fe.sp_shard,
                 ),
                 donate_argnums=(0, 1, 2),
             )
@@ -125,6 +129,7 @@ class TrainLoop:
                     rank=int(lc.get("rank", 2)),
                     alpha=float(lc.get("alpha", 4.0)),
                     compute_dtype=fe.compute_dtype, remat=False,
+                    sp_shard=fe.sp_shard,
                 )["key_features"].astype(jnp.float32)
             )
 

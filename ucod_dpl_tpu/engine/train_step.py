@@ -206,6 +206,7 @@ def make_lora_train_step(
     lora_optimizer: optax.GradientTransformation,
     dino_cfg,
     compute_dtype,
+    sp_shard=None,
 ):
     """Stage-1 train step with a live LoRA-adapted backbone.
 
@@ -216,6 +217,13 @@ def make_lora_train_step(
     backbone stays frozen via stop_gradient).  The backbone forward keeps
     the packed Pallas attention (its flash VJP, ops/attention.py) and
     rematerialises layer activations.
+
+    ``sp_shard``: optional ``(Mesh, axis)`` — run the adapted backbone
+    sequence-parallel (ring attention, ``parallel/sp.py``); the ring
+    carries its own flash-style VJP, so adapter gradients flow through it
+    and per-chip activation memory drops by the ring size.  This is the
+    scaling lever for HIGH-RESOLUTION fine-tuning (756px+), where the
+    reference's only option was shrinking the batch on one GPU.
     """
     feature_size = cfg.model_cfg.feature_size
     ema_weight = cfg.model_cfg.ema_weight
@@ -255,7 +263,7 @@ def make_lora_train_step(
             out = lora_forward(
                 jax.lax.stop_gradient(backbone_params), lora_p, pixels,
                 dino_cfg, rank=rank, alpha=alpha,
-                compute_dtype=compute_dtype, remat=remat,
+                compute_dtype=compute_dtype, remat=remat, sp_shard=sp_shard,
             )
             f = _to_feature_size(out["key_features"].astype(jnp.float32), feature_size)
             f_sg = jax.lax.stop_gradient(f)

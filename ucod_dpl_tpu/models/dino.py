@@ -361,10 +361,13 @@ def dino_forward(
         attention runs as ring attention (``parallel/sp.py`` — k/v chunks
         rotate via ppermute with an online-softmax merge, so no chip ever
         holds the full (L, L) score matrix).  The resolution-scaling axis
-        for high-res extraction; forward-path only, mutually exclusive with
-        ``tp_shard`` (2D attention sharding is not implemented), with
-        ``want_cls_attention`` (the pseudo-label parity contract runs
-        unsharded) and with ``quant``.
+        for high-res extraction AND fine-tuning: the ring carries its own
+        flash-style VJP (``parallel/sp.py::_local_ring_bwd``), so
+        differentiated paths (LoRA training) shard their activation memory
+        over the same axis.  Mutually exclusive with ``tp_shard`` (2D
+        attention sharding is not implemented), with ``want_cls_attention``
+        (the pseudo-label parity contract runs unsharded) and with
+        ``quant``.
       quant: optional pytree from :func:`ucod_dpl_tpu.ops.quant.
         quantize_dino_linears` — routes every transformer-layer linear
         (q/k/v/out/fc1/fc2, and the key_fold matmul) through the int8

@@ -43,6 +43,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -94,11 +95,26 @@ def _ring_body(qh, k_c, v_c, mask_c, m, s, o, *, scale: float, num_heads: int):
     return m_new, s, o
 
 
+def _varying(x, vary_axes):
+    # a shard_map loop carry must be typed as device-varying over every
+    # manual axis the inputs vary over (ring axis, plus the batch axis when
+    # the batch is sharded); plain zeros/full constants are not
+    try:
+        return jax.lax.pcast(x, vary_axes, to="varying")
+    except AttributeError:  # older jax: no vma tracking, nothing to do
+        return x
+
+
 def _local_ring(
     ql, kl, vl, maskl, *, num_heads: int, scale: float, axis: str, n_steps: int,
-    vary_axes: tuple,
+    vary_axes: tuple, want_lse: bool = False,
 ):
-    """shard_map body: local q against the full ring of k/v chunks."""
+    """shard_map body: local q against the full ring of k/v chunks.
+
+    ``want_lse``: also return the per-query logsumexp ``m + log(s)`` shaped
+    (B, H, Lq) — the only residual the backward ring needs (probabilities
+    are recomputed per chunk from ``exp(scores - lse)``, flash-style).
+    """
     b, lq, d = ql.shape
     hd = d // num_heads
     qh = _split_heads(ql, num_heads).astype(jnp.float32)
@@ -118,29 +134,112 @@ def _local_ring(
         mask_c = jax.lax.ppermute(mask_c, axis, perm)
         return k_c, v_c, mask_c, m, s, o
 
-    def _varying(x):
-        # the loop carry must be typed as device-varying over every manual
-        # axis the inputs vary over (ring axis, plus the batch axis when the
-        # batch is sharded); plain zeros/full constants are not
-        try:
-            return jax.lax.pcast(x, vary_axes, to="varying")
-        except AttributeError:  # older jax: no vma tracking, nothing to do
-            return x
-
     init = (
         k0,
         v0,
         maskl,
-        _varying(jnp.full((bh, lq), _NEG, jnp.float32)),
-        _varying(jnp.zeros((bh, lq), jnp.float32)),
-        _varying(jnp.zeros((bh, lq, hd), jnp.float32)),
+        _varying(jnp.full((bh, lq), _NEG, jnp.float32), vary_axes),
+        _varying(jnp.zeros((bh, lq), jnp.float32), vary_axes),
+        _varying(jnp.zeros((bh, lq, hd), jnp.float32), vary_axes),
     )
     *_, m, s, o = jax.lax.fori_loop(0, n_steps, body, init)
     # every query row sees ALL keys over the ring and at least one global key
     # is real (CLS), so s > 0 everywhere — including padded query rows, whose
     # finite junk the caller slices away
-    out = (o / s[..., None]).astype(ql.dtype)
-    return _merge_heads(out, b, num_heads)
+    out = _merge_heads((o / s[..., None]).astype(ql.dtype), b, num_heads)
+    if want_lse:
+        return out, (m + jnp.log(s)).reshape(b, num_heads, lq)
+    return out
+
+
+def _local_ring_bwd(
+    ql, kl, vl, maskl, ol, lsel, dol, *, num_heads: int, scale: float,
+    axis: str, n_steps: int, vary_axes: tuple,
+):
+    """Backward ring: flash-attention backward over rotating k/v chunks.
+
+    Per hop, probabilities for the resident chunk are recomputed from the
+    saved logsumexp (``p = exp(scores - lse) * mask`` — already normalised,
+    since ``lse = m + log(s)``), then the standard flash backward:
+
+        dv_chunk += p^T @ do
+        dp        = do @ v_chunk^T
+        ds        = p * (dp - delta) * scale      (delta = sum(do * o))
+        dq       += ds @ k_chunk
+        dk_chunk += ds^T @ q
+
+    dk/dv accumulators ride the ring WITH their chunk (same ppermute), so
+    after n hops each is back on its home device with contributions from
+    every device's queries; dq accumulates locally.  Memory is the same
+    L/n-slice economics as the forward — no (L, L) block outlives a hop.
+
+    Padding is self-correcting: masked keys give p == 0 -> zero dk/dv/dq
+    contributions; padded QUERY rows only contribute through ``do``, which
+    is zero there (the caller slices padded outputs off, so their cotangent
+    arrives as zeros).
+    """
+    b, lq, d = ql.shape
+    qh = _split_heads(ql, num_heads).astype(jnp.float32)
+    k0 = _split_heads(kl, num_heads).astype(jnp.float32)
+    v0 = _split_heads(vl, num_heads).astype(jnp.float32)
+    oh = _split_heads(ol, num_heads).astype(jnp.float32)
+    doh = _split_heads(dol, num_heads).astype(jnp.float32)
+    bh = b * num_heads
+    lse_h = lsel.reshape(bh, lq)  # (B, H, Lq) -> b-major-then-head, like qh
+    delta = jnp.sum(doh * oh, axis=-1)  # (bh, lq)
+
+    perm = [(i, (i + 1) % n_steps) for i in range(n_steps)]
+
+    def body(_, carry):
+        k_c, v_c, mask_c, dk_c, dv_c, dq = carry
+        lk = k_c.shape[1]
+        mask_bh = jnp.broadcast_to(
+            mask_c[:, None, :], (b, num_heads, lk)
+        ).reshape(bh, lk)
+        scores = (
+            jnp.einsum("bqd,bkd->bqk", qh, k_c, preferred_element_type=jnp.float32)
+            * scale
+        )
+        scores = jnp.where(mask_bh[:, None, :], scores, _NEG)
+        p = jnp.exp(scores - lse_h[..., None]) * mask_bh[:, None, :].astype(
+            jnp.float32
+        )
+        dv_c = dv_c + jnp.einsum(
+            "bqk,bqd->bkd", p, doh, preferred_element_type=jnp.float32
+        )
+        dp = jnp.einsum(
+            "bqd,bkd->bqk", doh, v_c, preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum(
+            "bqk,bkd->bqd", ds, k_c, preferred_element_type=jnp.float32
+        )
+        dk_c = dk_c + jnp.einsum(
+            "bqk,bqd->bkd", ds, qh, preferred_element_type=jnp.float32
+        )
+        k_c = jax.lax.ppermute(k_c, axis, perm)
+        v_c = jax.lax.ppermute(v_c, axis, perm)
+        mask_c = jax.lax.ppermute(mask_c, axis, perm)
+        dk_c = jax.lax.ppermute(dk_c, axis, perm)
+        dv_c = jax.lax.ppermute(dv_c, axis, perm)
+        return k_c, v_c, mask_c, dk_c, dv_c, dq
+
+    init = (
+        k0,
+        v0,
+        maskl,
+        # fresh constants (zeros_like of a device-varying input is already
+        # varying, and pcast rejects varying -> varying)
+        _varying(jnp.zeros(k0.shape, jnp.float32), vary_axes),
+        _varying(jnp.zeros(v0.shape, jnp.float32), vary_axes),
+        _varying(jnp.zeros(qh.shape, jnp.float32), vary_axes),
+    )
+    *_, dk, dv, dq = jax.lax.fori_loop(0, n_steps, body, init)
+    return (
+        _merge_heads(dq, b, num_heads).astype(ql.dtype),
+        _merge_heads(dk, b, num_heads).astype(kl.dtype),
+        _merge_heads(dv, b, num_heads).astype(vl.dtype),
+    )
 
 
 def ring_attention(
@@ -195,14 +294,64 @@ def ring_attention(
         and b % mesh.shape["data"] == 0
         else None
     )
-    spec3 = P(b_axis, axis, None)
+    statics = (num_heads, float(scale), mesh, axis, b_axis, n)
+    return _ring_attention_sharded(statics, q, k, v, valid)
+
+
+def _ring_kwargs(statics):
+    num_heads, scale, mesh, axis, b_axis, n = statics
+    return dict(
+        num_heads=num_heads, scale=scale, axis=axis, n_steps=n,
+        vary_axes=(axis,) if b_axis is None else (b_axis, axis),
+    )
+
+
+def _ring_specs(statics):
+    _, _, mesh, axis, b_axis, _ = statics
+    return mesh, P(b_axis, axis, None), P(b_axis, axis), P(b_axis, None, axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring_attention_sharded(statics, q, k, v, valid):
+    """The n>1 sharded ring with a hand-rolled VJP.  Autodiff of the primal
+    would need the fori_loop rewritten as a scan whose saved residuals are
+    every hop's (L/n, L/n) probability block — the full score matrix spread
+    over the ring.  The custom backward recomputes them from the logsumexp
+    instead (see ``_local_ring_bwd``)."""
+    mesh, spec3, spec_mask, _ = _ring_specs(statics)
     fn = jax.shard_map(
-        functools.partial(
-            _local_ring, num_heads=num_heads, scale=float(scale), axis=axis,
-            n_steps=n, vary_axes=(axis,) if b_axis is None else (b_axis, axis),
-        ),
+        functools.partial(_local_ring, **_ring_kwargs(statics)),
         mesh=mesh,
-        in_specs=(spec3, spec3, spec3, P(b_axis, axis)),
+        in_specs=(spec3, spec3, spec3, spec_mask),
         out_specs=spec3,
     )
     return fn(q, k, v, valid)
+
+
+def _ring_attention_fwd(statics, q, k, v, valid):
+    mesh, spec3, spec_mask, spec_lse = _ring_specs(statics)
+    fn = jax.shard_map(
+        functools.partial(_local_ring, want_lse=True, **_ring_kwargs(statics)),
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec3, spec_mask),
+        out_specs=(spec3, spec_lse),
+    )
+    out, lse = fn(q, k, v, valid)
+    return out, (q, k, v, valid, out, lse)
+
+
+def _ring_attention_bwd(statics, res, do):
+    q, k, v, valid, out, lse = res
+    mesh, spec3, spec_mask, spec_lse = _ring_specs(statics)
+    fn = jax.shard_map(
+        functools.partial(_local_ring_bwd, **_ring_kwargs(statics)),
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec3, spec_mask, spec3, spec_lse, spec3),
+        out_specs=(spec3, spec3, spec3),
+    )
+    dq, dk, dv = fn(q, k, v, valid, out, lse, do)
+    # the mask is boolean: its cotangent type is float0 (no gradient)
+    return dq, dk, dv, np.zeros(valid.shape, jax.dtypes.float0)
+
+
+_ring_attention_sharded.defvjp(_ring_attention_fwd, _ring_attention_bwd)
