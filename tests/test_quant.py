@@ -300,3 +300,65 @@ def test_refine_predictor_int8_smoke():
         assert b.shape == (56, 56)
         assert set(np.unique(b)).issubset({0.0, 1.0})
         assert np.mean(a == b) > 0.9, np.mean(a == b)
+
+
+def test_layernorm_qkv_w8a8_kernel_matches_fallback(monkeypatch):
+    """The fused int8 LN+quant+QKV kernel (interpret mode = exact kernel
+    semantics on CPU) vs the unfused shared-quant composition.  Tolerance is
+    ONE activation quantum: the kernel's rsqrt-based LayerNorm can differ
+    from the fallback's by 1 ulp, flipping round-to-nearest ties by +-1
+    int8 step worth s_x * w_s."""
+    from ucod_dpl_tpu.models.dino import _layernorm
+    from ucod_dpl_tpu.ops.fused_layers import layernorm_qkv_w8a8
+    from ucod_dpl_tpu.ops.quant import dense_w8a8_pre, quantize_act
+
+    rng = np.random.default_rng(0)
+    d = 128
+    x = jnp.asarray(rng.standard_normal((2, 37, d)).astype(np.float32))
+    norm = {
+        "scale": jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32),
+        "bias": jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+    }
+    q8 = [
+        quantize_linear(
+            {
+                "w": jnp.asarray(rng.standard_normal((d, d)), jnp.float32) / d**0.5,
+                "b": jnp.asarray(rng.standard_normal(d), jnp.float32) * 0.1,
+            }
+        )
+        for _ in range(3)
+    ]
+
+    h = _layernorm(x, norm, 1e-6)
+    h_q, h_s = quantize_act(h)
+    ref = [dense_w8a8_pre(h_q, h_s, qp, jnp.float32) for qp in q8]
+
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    fused = layernorm_qkv_w8a8(x, norm, *q8, eps=1e-6)
+
+    # one-quantum bound: |diff| <= s_x * max|w_s| per element (plus f32 noise)
+    quantum = float(jnp.max(h_s)) * max(float(jnp.max(qp["w_s"])) for qp in q8)
+    for got, want in zip(fused, ref):
+        diff = np.abs(np.asarray(got) - np.asarray(want))
+        assert diff.max() <= quantum + 1e-5, (diff.max(), quantum)
+        # the overwhelming majority of elements agree to f32 epilogue noise
+        # (1e-7-class reassociation in acc * (s_x * w_s) + b); only rare
+        # rounding ties may differ by a full quantum
+        assert (diff <= 1e-5).mean() > 0.99
+
+
+def test_dino_forward_int8_fused_vs_unfused_kernel_paths(monkeypatch):
+    """The composed int8 forward with the fused Pallas kernel (interpret)
+    tracks the pure-XLA int8 forward at the quantization-noise scale."""
+    params, _ = _tiny_model()
+    qparams = quantize_dino_linears(params)
+    px = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 56, 56, 3)).astype(np.float32)
+    )
+    ref = dino_forward(params, px, TINY, quant=qparams)["key_features"]
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    got = dino_forward(params, px, TINY, quant=qparams)["key_features"]
+    ref, got = np.asarray(ref), np.asarray(got)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_allclose(got, ref, atol=0.05)

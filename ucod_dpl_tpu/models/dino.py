@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ucod_dpl_tpu.ops.attention import multi_head_attention
-from ucod_dpl_tpu.ops.fused_layers import layernorm_qkv
+from ucod_dpl_tpu.ops.fused_layers import layernorm_qkv, layernorm_qkv_w8a8
 from ucod_dpl_tpu.ops.resize import interpolate_bicubic
 
 HI = jax.lax.Precision.HIGHEST
@@ -417,7 +417,12 @@ def dino_forward(
                 "pseudo-label generation is a bitwise parity contract; "
                 "run it on the full-precision forward"
             )
-        from ucod_dpl_tpu.ops.quant import dense_w8a8, quantize_linear
+        from ucod_dpl_tpu.ops.quant import (
+            dense_w8a8,
+            dense_w8a8_pre,
+            quantize_act,
+            quantize_linear,
+        )
     b, img_h, img_w, _ = pixels.shape
     gh, gw = img_h // cfg.patch_size, img_w // cfg.patch_size
     dtype = compute_dtype
@@ -501,13 +506,29 @@ def dino_forward(
         # feature-extraction programs (which consume only this layer's k)
         # could no longer dead-code-eliminate its q/v projections, attention
         # and MLP — that DCE is worth more than the fusion.
-        if "_q8" in layer:
-            # int8 W8A8 path: LN stays f32, the three projections take the
-            # int8 MXU mode (the fused LN+qkv kernel is bf16-only)
+        if "_q8" in layer and not is_last:
+            # int8 W8A8 path, FUSED: LayerNorm + per-token quantization +
+            # the three projections in the MXU's int8 mode, one kernel
+            # (ops/fused_layers.py::layernorm_qkv_w8a8) — the normalised
+            # activations are quantized in-register and never hit HBM.
+            # Without this the int8 path paid the unfused composition the
+            # bf16 path's layernorm_qkv exists to avoid, giving back most
+            # of the 2x-MXU win (measured: composed int8 was +6% over bf16).
+            q, k, v = layernorm_qkv_w8a8(
+                x, layer["norm1"],
+                layer["_q8"]["q"], layer["_q8"]["k"], layer["_q8"]["v"],
+                cfg.layer_norm_eps,
+            )
+        elif "_q8" in layer:
+            # last layer stays unfused for the same DCE reason as bf16:
+            # feature-extraction programs consume only k and must be able
+            # to dead-code-eliminate q/v.  The shared input is quantized
+            # once, explicitly (XLA's CSE would dedupe it anyway — clarity)
             h = _layernorm(x, layer["norm1"], cfg.layer_norm_eps)
-            q = dense_w8a8(h, layer["_q8"]["q"], dtype)
-            k = dense_w8a8(h, layer["_q8"]["k"], dtype)
-            v = dense_w8a8(h, layer["_q8"]["v"], dtype)
+            h_q, h_s = quantize_act(h)
+            q = dense_w8a8_pre(h_q, h_s, layer["_q8"]["q"], dtype)
+            k = dense_w8a8_pre(h_q, h_s, layer["_q8"]["k"], dtype)
+            v = dense_w8a8_pre(h_q, h_s, layer["_q8"]["v"], dtype)
         elif tp_shard is None and sp_shard is None and not is_last:
             q, k, v = layernorm_qkv(
                 x, layer["norm1"], layer["q"], layer["k"], layer["v"],

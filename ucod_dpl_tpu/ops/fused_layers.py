@@ -151,6 +151,93 @@ def layernorm_fc1_gelu(x, norm_params, fc1_params, eps: float):
     return jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(x.dtype)
 
 
+def _lnqkv_w8a8_kernel(
+    x_ref, s_ref, b_ref, wq_ref, wk_ref, wv_ref, ws_ref, bias_ref,
+    q_ref, k_ref, v_ref, *, eps: float,
+):
+    """LayerNorm + per-token int8 quantization + three W8A8 projections,
+    all in one VMEM residency: the normalised activations are quantized
+    in-register (never written to HBM) and the q/k/v dots run in the MXU's
+    2x-rate int8 mode (int8 x int8 -> int32, verified native on v5e)."""
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
+    # per-token symmetric int8 (mirrors ops/quant.py::quantize_act)
+    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12)
+    h_q = jnp.clip(jnp.round(h / s_x), -127.0, 127.0).astype(jnp.int8)
+    for idx, (w_ref, o_ref) in enumerate(
+        ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref))
+    ):
+        acc = jnp.dot(h_q, w_ref[...], preferred_element_type=jnp.int32)
+        o = acc.astype(jnp.float32) * (s_x * ws_ref[idx]) + bias_ref[idx]
+        o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _pallas_layernorm_qkv_w8a8(x, ln_scale, ln_bias, wq, wk, wv, wsc, bqkv, eps):
+    b, l, d = x.shape
+    bq = min(_BQ, _ceil_to(l, 128))
+    lp = _ceil_to(l, bq)
+    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    if padded:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out_len = lp if padded else l
+
+    grid = (b, lp // bq)
+    vec = pl.BlockSpec((1, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((d, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    tri = pl.BlockSpec((3, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_lnqkv_w8a8_kernel, eps=eps),
+        grid=grid,
+        in_specs=[blk, vec, vec, mat, mat, mat, tri, tri],
+        out_specs=[blk] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, out_len, d), x.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, ln_scale, ln_bias, wq, wk, wv, wsc, bqkv)
+    if padded:
+        outs = [o[:, :l, :] for o in outs]
+    return tuple(outs)
+
+
+def layernorm_qkv_w8a8(x, norm_params, q8_q, q8_k, q8_v, eps: float):
+    """(B, L, D) hidden state -> int8-W8A8 (q, k, v) of its LayerNorm.
+
+    The int8 sibling of :func:`layernorm_qkv` — without it the opt-in int8
+    serving path paid the unfused composition (LN writes a full f32
+    intermediate that three matmuls re-read, plus a separate quantization
+    pass), giving back most of the 2x-MXU win.  Param dicts use the
+    ops/quant.py layout: ``{"w_q": int8 (d, d), "w_s": f32 (d,), "b": f32}``.
+    Falls back to the shared-quant XLA composition off-TPU.
+    """
+    d = x.shape[-1]
+    if use_pallas() and d % 128 == 0:
+        wsc = jnp.stack([q8_q["w_s"], q8_k["w_s"], q8_v["w_s"]]).astype(jnp.float32)
+        bqkv = jnp.stack([q8_q["b"], q8_k["b"], q8_v["b"]]).astype(jnp.float32)
+        return _pallas_layernorm_qkv_w8a8(
+            x,
+            norm_params["scale"].astype(jnp.float32).reshape(1, d),
+            norm_params["bias"].astype(jnp.float32).reshape(1, d),
+            q8_q["w_q"], q8_k["w_q"], q8_v["w_q"], wsc, bqkv,
+            float(eps),
+        )
+    from ucod_dpl_tpu.models.dino import _layernorm
+    from ucod_dpl_tpu.ops.quant import dense_w8a8_pre, quantize_act
+
+    h = _layernorm(x, norm_params, eps)
+    h_q, h_s = quantize_act(h)
+    return (
+        dense_w8a8_pre(h_q, h_s, q8_q, x.dtype),
+        dense_w8a8_pre(h_q, h_s, q8_k, x.dtype),
+        dense_w8a8_pre(h_q, h_s, q8_v, x.dtype),
+    )
+
+
 def layernorm_qkv(x, norm_params, q_params, k_params, v_params, eps: float):
     """(B, L, D) hidden state -> (q, k, v) projections of its LayerNorm.
 

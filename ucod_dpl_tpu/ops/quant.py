@@ -46,15 +46,26 @@ def quantize_linear(p: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {"w_q": w_q, "w_s": s, "b": p["b"].astype(jnp.float32)}
 
 
-def dense_w8a8(x: jnp.ndarray, qp: Dict[str, jnp.ndarray], out_dtype) -> jnp.ndarray:
-    """``x @ w + b`` with int8 weights and dynamically-quantized int8
-    activations; int32 MXU accumulation, f32 rescale.
+def quantize_act(x: jnp.ndarray):
+    """Per-token symmetric dynamic int8 quantization of activations:
+    ``(x_q int8, s_x f32 keepdims)`` with row scale = max-abs / 127.
 
-    x: (..., d_in) any float dtype.  Per-token scale = max-abs over the
-    feature axis of each row."""
+    Split out of :func:`dense_w8a8` so callers applying SEVERAL quantized
+    linears to the SAME input (the q/k/v projections share one LayerNorm
+    output) quantize it once — the per-token max-abs/scale/round/cast is
+    pure VPU+HBM work that the MXU win cannot hide, and sharing it is
+    bitwise identical to repeating it (deterministic rounding)."""
     xf = x.astype(jnp.float32)
     s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, _EPS)
     x_q = jnp.clip(jnp.round(xf / s_x), -127.0, 127.0).astype(jnp.int8)
+    return x_q, s_x
+
+
+def dense_w8a8_pre(
+    x_q: jnp.ndarray, s_x: jnp.ndarray, qp: Dict[str, jnp.ndarray], out_dtype
+) -> jnp.ndarray:
+    """The matmul half of :func:`dense_w8a8` on pre-quantized activations
+    (from :func:`quantize_act`): int32 MXU accumulation, f32 rescale."""
     acc = jax.lax.dot_general(
         x_q,
         qp["w_q"],
@@ -63,6 +74,16 @@ def dense_w8a8(x: jnp.ndarray, qp: Dict[str, jnp.ndarray], out_dtype) -> jnp.nda
     )
     y = acc.astype(jnp.float32) * (s_x * qp["w_s"]) + qp["b"]
     return y.astype(out_dtype)
+
+
+def dense_w8a8(x: jnp.ndarray, qp: Dict[str, jnp.ndarray], out_dtype) -> jnp.ndarray:
+    """``x @ w + b`` with int8 weights and dynamically-quantized int8
+    activations; int32 MXU accumulation, f32 rescale.
+
+    x: (..., d_in) any float dtype.  Per-token scale = max-abs over the
+    feature axis of each row."""
+    x_q, s_x = quantize_act(x)
+    return dense_w8a8_pre(x_q, s_x, qp, out_dtype)
 
 
 _VIT_LINEARS = ("q", "k", "v", "out", "fc1", "fc2")
