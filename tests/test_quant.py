@@ -362,3 +362,41 @@ def test_dino_forward_int8_fused_vs_unfused_kernel_paths(monkeypatch):
     corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert corr > 0.999, corr
     np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_lnfc1gelu_w8a8_kernel_matches_fallback(monkeypatch):
+    """The fused int8 MLP-half kernel (interpret mode) vs the unfused
+    shared-quant composition: int8 codes within one step, scales to f32
+    noise."""
+    from ucod_dpl_tpu.models.dino import _layernorm
+    from ucod_dpl_tpu.ops.fused_layers import layernorm_fc1_gelu_w8a8
+    from ucod_dpl_tpu.ops.quant import dense_w8a8_pre, quantize_act
+
+    rng = np.random.default_rng(5)
+    d, df = 128, 256
+    x = jnp.asarray(rng.standard_normal((2, 37, d)).astype(np.float32))
+    norm = {
+        "scale": jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32),
+        "bias": jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+    }
+    q8 = quantize_linear(
+        {
+            "w": jnp.asarray(rng.standard_normal((d, df)), jnp.float32) / d**0.5,
+            "b": jnp.asarray(rng.standard_normal(df), jnp.float32) * 0.1,
+        }
+    )
+
+    h = _layernorm(x, norm, 1e-6)
+    h_q, h_s = quantize_act(h)
+    g = jax.nn.gelu(dense_w8a8_pre(h_q, h_s, q8, jnp.float32), approximate=True)
+    ref_q, ref_s = quantize_act(g)
+
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    got_q, got_s = layernorm_fc1_gelu_w8a8(x, norm, q8, eps=1e-6)
+
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-5)
+    code_diff = np.abs(
+        np.asarray(got_q, np.int32) - np.asarray(ref_q, np.int32)
+    )
+    assert code_diff.max() <= 1, code_diff.max()  # rounding ties only
+    assert (code_diff == 0).mean() > 0.99

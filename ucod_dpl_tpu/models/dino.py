@@ -32,7 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ucod_dpl_tpu.ops.attention import multi_head_attention
-from ucod_dpl_tpu.ops.fused_layers import layernorm_qkv, layernorm_qkv_w8a8
+from ucod_dpl_tpu.ops.fused_layers import (
+    layernorm_fc1_gelu_w8a8,
+    layernorm_qkv,
+    layernorm_qkv_w8a8,
+)
 from ucod_dpl_tpu.ops.resize import interpolate_bicubic
 
 HI = jax.lax.Precision.HIGHEST
@@ -581,22 +585,29 @@ def dino_forward(
         # the composed layer (486 -> 455 img/s end-to-end): XLA fuses the
         # preceding ls1-scale + residual add into ln2's consumer, and the
         # kernel boundary forces that chain to materialise.  Unfused here.
-        h2 = _layernorm(x, layer["norm2"], cfg.layer_norm_eps)
         if "_q8" in layer:
-            h2 = dense_w8a8(h2, layer["_q8"]["fc1"], dtype)
+            # int8 MLP half, FUSED: LN + per-token quant + int8 fc1 + gelu
+            # + re-quantization in one kernel — the (L, 4D) hidden expansion
+            # leaves it already int8, so fc2 is a bare int8 MXU dot.  gelu
+            # is tanh-approx on BOTH backends here (kernel == fallback;
+            # ~1e-3 approximation error, far below the quantization noise)
+            h1_q, s1 = layernorm_fc1_gelu_w8a8(
+                x, layer["norm2"], layer["_q8"]["fc1"], cfg.layer_norm_eps
+            )
+            h2 = dense_w8a8_pre(h1_q, s1, layer["_q8"]["fc2"], dtype)
         else:
+            h2 = _layernorm(x, layer["norm2"], cfg.layer_norm_eps)
             h2 = _dense(h2, layer["fc1"], dtype)
-        if dtype == jnp.bfloat16:
-            # tanh-approx GELU in bf16: the exact-erf/f32 variant costs ~10x
-            # (1.0ms vs 0.1ms per layer at bs16@518px) for a ~1e-3 activation
-            # difference — far below bf16 noise. The f32 path keeps exact erf
-            # for bit-parity with the HF reference.
-            h2 = jax.nn.gelu(h2, approximate=True)
-        else:
-            h2 = jax.nn.gelu(h2.astype(jnp.float32), approximate=False).astype(dtype)
-        if "_q8" in layer:
-            h2 = dense_w8a8(h2, layer["_q8"]["fc2"], dtype)
-        else:
+            if dtype == jnp.bfloat16:
+                # tanh-approx GELU in bf16: the exact-erf/f32 variant costs
+                # ~10x (1.0ms vs 0.1ms per layer at bs16@518px) for a ~1e-3
+                # activation difference — far below bf16 noise. The f32 path
+                # keeps exact erf for bit-parity with the HF reference.
+                h2 = jax.nn.gelu(h2, approximate=True)
+            else:
+                h2 = jax.nn.gelu(
+                    h2.astype(jnp.float32), approximate=False
+                ).astype(dtype)
             h2 = _dense(h2, layer["fc2"], dtype)
         if cfg.use_layerscale:
             h2 = h2 * layer["ls2"].astype(dtype)

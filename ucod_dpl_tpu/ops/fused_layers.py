@@ -205,6 +205,106 @@ def _pallas_layernorm_qkv_w8a8(x, ln_scale, ln_bias, wq, wk, wv, wsc, bqkv, eps)
     return tuple(outs)
 
 
+_BQ_FC1_Q8 = 256  # (bq,3072) f32 intermediates: 256 keeps the tile ~10MB
+
+
+def _lnfc1gelu_w8a8_kernel(
+    x_ref, s_ref, b_ref, w1_ref, ws_ref, b1_ref, oq_ref, os_ref, *, eps: float
+):
+    """LayerNorm + per-token int8 quant + int8 fc1 + gelu + per-token int8
+    RE-quantization of the gelu output — the fc2 input leaves this kernel
+    already int8, so the (L, 4D) hidden expansion never round-trips HBM in
+    float at all on the W8A8 path."""
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
+    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12)
+    h_q = jnp.clip(jnp.round(h / s_x), -127.0, 127.0).astype(jnp.int8)
+    acc = jnp.dot(h_q, w1_ref[...], preferred_element_type=jnp.int32)
+    h1 = acc.astype(jnp.float32) * (s_x * ws_ref[0]) + b1_ref[0]
+    g = jax.nn.gelu(h1, approximate=True)
+    s1 = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0, 1e-12)
+    oq_ref[0] = jnp.clip(jnp.round(g / s1), -127.0, 127.0).astype(jnp.int8)
+    os_ref[0] = s1[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _pallas_lnfc1gelu_w8a8(x, ln_scale, ln_bias, w1_q, w1_s, b1, eps: float):
+    b, l, d = x.shape
+    df = w1_q.shape[-1]
+    bq = min(_BQ_FC1_Q8, _ceil_to(l, 128))
+    lp = _ceil_to(l, bq)
+    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    if padded:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out_len = lp if padded else l
+
+    grid = (b, lp // bq)
+    vec = pl.BlockSpec((1, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    h1_q, s1 = pl.pallas_call(
+        functools.partial(_lnfc1gelu_w8a8_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            vec,
+            vec,
+            pl.BlockSpec((d, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, df), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda bb, i: (bb, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, out_len, df), jnp.int8),
+            jax.ShapeDtypeStruct((b, out_len), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, ln_scale, ln_bias, w1_q, w1_s, b1)
+    if padded:
+        h1_q, s1 = h1_q[:, :l, :], s1[:, :l]
+    return h1_q, s1[..., None]
+
+
+def layernorm_fc1_gelu_w8a8(x, norm_params, q8_fc1, eps: float):
+    """(B, L, D) -> int8-quantized ``gelu(fc1_w8a8(layernorm(x)))`` plus its
+    per-token scales, ready for a :func:`~ucod_dpl_tpu.ops.quant.
+    dense_w8a8_pre` fc2.
+
+    The MLP half of the W8A8 path: without this it pays an unfused LN, a
+    separate activation-quant pass AND a full (L, 4D) float round-trip of
+    the gelu output before fc2's quantization.  gelu is tanh-approximate in
+    BOTH the kernel and the fallback (the ~1e-3 approximation error is far
+    below the int8 quantization noise it feeds into).
+    """
+    d = x.shape[-1]
+    df = q8_fc1["w_q"].shape[-1]
+    if use_pallas() and d % 128 == 0 and df % 128 == 0:
+        return _pallas_lnfc1gelu_w8a8(
+            x,
+            norm_params["scale"].astype(jnp.float32).reshape(1, d),
+            norm_params["bias"].astype(jnp.float32).reshape(1, d),
+            q8_fc1["w_q"],
+            q8_fc1["w_s"].astype(jnp.float32).reshape(1, df),
+            q8_fc1["b"].astype(jnp.float32).reshape(1, df),
+            float(eps),
+        )
+    from ucod_dpl_tpu.models.dino import _layernorm
+    from ucod_dpl_tpu.ops.quant import dense_w8a8_pre, quantize_act
+
+    h = _layernorm(x, norm_params, eps)
+    h_q, h_s = quantize_act(h)
+    g = jax.nn.gelu(
+        dense_w8a8_pre(h_q, h_s, q8_fc1, jnp.float32), approximate=True
+    )
+    return quantize_act(g)
+
+
 def layernorm_qkv_w8a8(x, norm_params, q8_q, q8_k, q8_v, eps: float):
     """(B, L, D) hidden state -> int8-W8A8 (q, k, v) of its LayerNorm.
 
