@@ -178,6 +178,27 @@ def _analytic_backbone_flops_per_img(
     return total
 
 
+def _analytic_lora_joint_flops_per_img(cfg, img: int) -> float:
+    """Model FLOPs (not executed flops) of one LoRA joint train step, per
+    image: the full unfolded backbone forward, plus the backward actually
+    REQUIRED by the adaptation — dx through every linear (same matmul cost
+    as forward; base weights are FROZEN so no dW for them) and the full
+    attention backward (dq/dk/dv = 2x the forward's two score/PV matmuls).
+    Adapter dW (rank 2) and the decoder/EMA/optimizer are <1% and excluded —
+    an honest UNDERcount, like the headline's excluded decoder.  Remat and
+    flash-backward softmax recompute are deliberately NOT counted: MFU is
+    model-work per second, recompute is the price paid for memory (the
+    executed-flops figure from XLA cost analysis is reported alongside)."""
+    n = (img // cfg.patch_size) ** 2 + 1
+    d = cfg.hidden_size
+    lin = 24 * n * d * d  # qkv + proj + fc1 + fc2 forward matmuls
+    attn = 4 * n * n * d  # scores + PV
+    patch_embed = 2 * n * (cfg.patch_size**2 * 3) * d
+    fwd = cfg.num_layers * (lin + attn) + patch_embed
+    bwd = cfg.num_layers * (lin + 2 * attn)  # dx everywhere + attention bwd
+    return float(fwd + bwd)
+
+
 def _min_marginal_rate(run_one, run_many, repeats: int = 3):
     """Marginal per-iteration cost from the MINIMA of 1-iteration and
     (n+1)-iteration timings taken separately — tunneled chips show large
@@ -332,11 +353,17 @@ def measure():
     peak = _peak_bf16_tflops(device_kind) if on_tpu else None
     mfu = (imgs_per_sec * flops_per_img / (peak * 1e12)) if peak else None
 
-    extras = []
+    extras, omitted = [], []
     if tiny_extras:
-        extras = _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=True)
+        extras, omitted = _measure_extras(
+            jax, jnp, np, cfg, backbone, compute_dtype, tiny=True,
+            headline_imgs_per_sec=imgs_per_sec,
+        )
     elif on_tpu and not os.environ.get("UCOD_BENCH_FAST"):
-        extras = _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype)
+        extras, omitted = _measure_extras(
+            jax, jnp, np, cfg, backbone, compute_dtype,
+            headline_imgs_per_sec=imgs_per_sec,
+        )
 
     out = {
         "metric": "images/sec/chip at 518px eval (dinov2-base + DBA decoder)",
@@ -349,6 +376,10 @@ def measure():
         "peak_bf16_tflops": peak,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "metrics": extras,
+        # machine-visible omission record (ADVICE r4: a failing extra must
+        # not vanish into stderr — the JSON artifact itself says what's
+        # missing and why, so a reader never mistakes absence for coverage)
+        "omitted_extras": omitted,
     }
     if tiny_extras:
         # the metric labels describe the PRODUCTION shapes; a tiny smoke run
@@ -361,7 +392,25 @@ def measure():
     print(json.dumps(out))
 
 
-def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
+def _xla_flops_per_call(jitted, *args):
+    """Executed-FLOPs estimate for one call of a jitted function, from XLA's
+    own cost analysis (includes remat recompute and Pallas cost_estimates —
+    i.e. HARDWARE flops, not model flops).  None when the backend doesn't
+    implement cost_analysis (e.g. some remote plugins)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):  # older JAX returned [dict]
+            cost = cost[0] if cost else {}
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:  # noqa: BLE001 — purely informational
+        return None
+
+
+def _measure_extras(
+    jax, jnp, np, cfg, backbone, compute_dtype, tiny=False,
+    headline_imgs_per_sec=None,
+):
     """The non-headline hot paths (VERDICT r3 #4 / SURVEY §3.5):
 
     * 756px feature-cache build — the throughput-dominant ONE-TIME stage
@@ -371,6 +420,9 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
       bs16, 37x37 features -> 68 grid, ``loop_UCOD_DPL.py:148-184``);
     * LoRA joint train step (the heaviest training composition);
     * int8 W8A8 serving eval (the opt-in quantized path, ops/quant.py).
+
+    Returns ``(extras, omitted)`` — the omission record is part of the JSON
+    artifact, never stderr-only.
     """
     from ucod_dpl_tpu.engine.train_step import (
         TrainState,
@@ -382,36 +434,44 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
     from ucod_dpl_tpu.models.dino import dino_forward
 
     extras = []
+    omitted = []
     rng = np.random.default_rng(1)
 
     def omit(label, one, many):
         # absurd-rate contract (same as the primary metric): a
         # noise-inverted timing must NOT land in the self-certifying JSON;
-        # an extra is non-essential, so note the omission on stderr — with
-        # the full metric label, so a test (or a reader) can tell WHICH
-        # extra is missing and why — instead of aborting the whole bench
-        print(
-            f"bench.py: extra omitted [{label}] — timing inverted/absurd "
-            f"(one={one:.4f}s many={many:.4f}s); host too contended",
-            file=sys.stderr,
+        # an extra is non-essential, so record the omission — with the full
+        # metric label, so a test (or a reader) can tell WHICH extra is
+        # missing and why — instead of aborting the whole bench
+        reason = (
+            f"timing inverted/absurd (one={one:.4f}s many={many:.4f}s); "
+            "host too contended"
         )
+        omitted.append({"metric": label, "reason": reason})
+        print(f"bench.py: extra omitted [{label}] — {reason}", file=sys.stderr)
+
+    # error types a retry/fresh-host cannot fix: a programming error in an
+    # extra must FAIL the bench loudly, not degrade to an omission note
+    # (ADVICE r4: a NameError after a refactor silently cost the artifact
+    # its metric)
+    _NON_TRANSIENT = (NameError, AttributeError, ImportError, SyntaxError, TypeError)
 
     def guarded(label, section):
         # extras are fault-ISOLATED: each runs its own (long) remote
         # compiles, and a transient tunnel fault there previously raised out
         # of the whole bench and lost the already-measured headline number
         # (observed: "remote_compile: response body closed" during the LoRA
-        # backward compile).  A failing extra is omitted with its cause on
-        # stderr — same contract as the absurd-timing omission — and the
-        # remaining extras still get their attempt.
+        # backward compile).  A failing extra is omitted with its cause in
+        # the JSON omission record — same contract as the absurd-timing
+        # omission — and the remaining extras still get their attempt.
         try:
             section()
-        except Exception as e:  # noqa: BLE001 — any extra failure is non-fatal
-            print(
-                f"bench.py: extra omitted [{label}] — "
-                f"{type(e).__name__}: {e}",
-                file=sys.stderr,
-            )
+        except _NON_TRANSIENT:
+            raise
+        except Exception as e:  # noqa: BLE001 — transient extra failures are non-fatal
+            reason = f"{type(e).__name__}: {e}"
+            omitted.append({"metric": label, "reason": reason})
+            print(f"bench.py: extra omitted [{label}] — {reason}", file=sys.stderr)
 
     # ---- 756px cache build ------------------------------------------------
     cb_batch, cb_img = (2, 126) if tiny else (8, 756)
@@ -521,13 +581,25 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
         # a bs16 stage-1 step is milliseconds of real work; sub-0.1ms implies
         # the marginal subtraction was eaten by host noise
         if dt > 0 and dt / tr_iters > 1e-4:
-            extras.append(
-                {
-                    "metric": "stage-1 train step (bs16 cached features, shipped config)",
-                    "value": round(dt / tr_iters * 1e3, 2),
-                    "unit": "ms/step",
-                }
-            )
+            entry = {
+                "metric": "stage-1 train step (bs16 cached features, shipped config)",
+                "value": round(dt / tr_iters * 1e3, 2),
+                "unit": "ms/step",
+            }
+            # executed-FLOPs utilization from XLA's own cost analysis (the
+            # step is decoder+discriminator-only — no analytic model exists
+            # for it like the backbone's; VERDICT r4 #4).  This step's
+            # matmuls are tiny (37x37 grids), so a low figure here is
+            # bandwidth/latency floor, not kernel waste — recorded to make
+            # that floor visible, not to claim MXU saturation.
+            hw_flops = _xla_flops_per_call(step, state, feats, plabels, epoch, adv)
+            st_peak = _peak_bf16_tflops(jax.devices()[0].device_kind)
+            if hw_flops and st_peak and jax.default_backend() == "tpu":
+                entry["flops_per_step_executed"] = hw_flops
+                entry["mfu"] = round(
+                    hw_flops / (dt / tr_iters) / (st_peak * 1e12), 4
+                )
+            extras.append(entry)
         else:
             omit("stage-1 train step", one, many)
 
@@ -588,13 +660,30 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
             lambda: run_lora_steps(1), lambda: run_lora_steps(lr_iters + 1)
         )
         if dt > 0 and dt / lr_iters > 1e-3:  # a live-backbone bwd is >> 1ms
-            extras.append(
-                {
-                    "metric": "LoRA joint train step (bs16 live 518px backbone)",
-                    "value": round(dt / lr_iters * 1e3, 2),
-                    "unit": "ms/step",
-                }
-            )
+            entry = {
+                "metric": "LoRA joint train step (bs16 live 518px backbone)",
+                "value": round(dt / lr_iters * 1e3, 2),
+                "unit": "ms/step",
+            }
+            lr_peak = _peak_bf16_tflops(jax.devices()[0].device_kind)
+            if lr_peak and jax.default_backend() == "tpu":
+                step_s = dt / lr_iters
+                model_flops = lr_batch * _analytic_lora_joint_flops_per_img(
+                    cfg, lr_img
+                )
+                entry["flops_per_step_model"] = model_flops
+                entry["mfu"] = round(model_flops / step_s / (lr_peak * 1e12), 4)
+                # executed flops (incl. remat + flash softmax recompute):
+                # the gap between this utilization and mfu is the memory-
+                # for-FLOPs trade, not kernel waste
+                hw = _xla_flops_per_call(
+                    lstep, lstate, lora_params, lora_opt_state, backbone,
+                    lpixels, lplabels, jnp.float32(1.0), jnp.float32(1.0),
+                )
+                if hw:
+                    entry["flops_per_step_executed"] = hw
+                    entry["hw_util"] = round(hw / step_s / (lr_peak * 1e12), 4)
+            extras.append(entry)
         else:
             omit("LoRA joint train step", one, many)
 
@@ -657,12 +746,90 @@ def _measure_extras(jax, jnp, np, cfg, backbone, compute_dtype, tiny=False):
                     entry["value"] * q_flops / (int8_peak * 1e12), 4
                 )
                 entry["peak_int8_tops"] = int8_peak
+            if headline_imgs_per_sec:
+                # composed A/B against THIS run's bf16 headline (same chip,
+                # same run — the end-to-end win the opt-in buys; the path
+                # bounds at ~1.6x, see ops/quant.py:4-8)
+                entry["composed_vs_bf16_headline"] = round(
+                    entry["value"] / headline_imgs_per_sec, 3
+                )
             extras.append(entry)
         else:
             omit("int8 W8A8 backbone", one, many)
 
     guarded("int8 W8A8 backbone", _int8_extra)
-    return extras
+
+    # ---- int8 raw-chain A/B (quant-overhead share) -------------------------
+    # where the 2x MXU datasheet ratio actually goes: a ViT-MLP-shaped
+    # matmul chain timed bf16 vs int8 (dynamic per-token quant included).
+    # ideal int8 time = bf16/2; the shortfall is the VPU quantization
+    # overhead — reported as a share so the composed ratio above can be
+    # read against its bound (VERDICT r4 #5).
+    def _int8_chain_extra():
+        from ucod_dpl_tpu.ops.quant import dense_w8a8, quantize_linear
+
+        n_tok = (16 * 1370) if not tiny else 512
+        x0 = jnp.asarray(
+            rng.standard_normal((n_tok, 768)).astype(np.float32),
+            dtype=compute_dtype,
+        )
+        w1 = {"w": jnp.asarray(
+            rng.standard_normal((768, 3072)).astype(np.float32) * 0.02),
+            "b": jnp.zeros((3072,), jnp.float32)}
+        w2 = {"w": jnp.asarray(
+            rng.standard_normal((3072, 768)).astype(np.float32) * 0.02),
+            "b": jnp.zeros((768,), jnp.float32)}
+        q1, q2 = quantize_linear(w1), quantize_linear(w2)
+
+        @jax.jit
+        def chain_bf16(x, n):
+            def body(i, acc):
+                h = jnp.dot(
+                    (x + acc * 1e-9).astype(compute_dtype),
+                    w1["w"].astype(compute_dtype),
+                )
+                h = jnp.dot(h, w2["w"].astype(compute_dtype))
+                return acc + jnp.sum(h.astype(jnp.float32) ** 2) * 1e-12
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        @jax.jit
+        def chain_int8(x, n):
+            def body(i, acc):
+                h = dense_w8a8((x + acc * 1e-9).astype(compute_dtype), q1,
+                               compute_dtype)
+                h = dense_w8a8(h, q2, compute_dtype)
+                return acc + jnp.sum(h.astype(jnp.float32) ** 2) * 1e-12
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        ch_iters = 16 if not tiny else 2
+        times = {}
+        for name, fn in (("bf16", chain_bf16), ("int8", chain_int8)):
+            float(fn(x0, 1))  # compile + warm
+            cdt, cone, cmany = _min_marginal_rate(
+                lambda fn=fn: float(fn(x0, 1)),
+                lambda fn=fn: float(fn(x0, ch_iters + 1)),
+            )
+            if cdt <= 0:
+                omit("int8 raw matmul chain", cone, cmany)
+                return
+            times[name] = cdt / ch_iters
+        ratio = times["bf16"] / times["int8"]
+        # ideal int8 = bf16/2 on a 2x-rate MXU; shortfall = dynamic-quant
+        # VPU work (per-token max-abs/scale/round/cast) the MXU can't hide
+        overhead = 1.0 - (times["bf16"] / 2.0) / times["int8"]
+        extras.append({
+            "metric": "int8 raw matmul chain vs bf16 (ViT MLP shapes)",
+            "value": round(ratio, 3),
+            "unit": "x speedup",
+            "quant_overhead_share": round(overhead, 3),
+            "bf16_ms": round(times["bf16"] * 1e3, 3),
+            "int8_ms": round(times["int8"] * 1e3, 3),
+        })
+
+    if jax.default_backend() == "tpu" or tiny:
+        guarded("int8 raw matmul chain", _int8_chain_extra)
+
+    return extras, omitted
 
 
 def main():

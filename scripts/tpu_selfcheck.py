@@ -33,7 +33,15 @@ XLA tile padding):
      live composition executes on this backend's int8 matmul lowering,
      stays finite, and its logits correlate with the full-precision
      path — the MXU's int8 mode is a different hardware unit
-     configuration than anything the bf16 checks exercise.
+     configuration than anything the bf16 checks exercise;
+  10. the fused int8 Pallas kernels AT PRODUCTION BATCH (round 8/round-4
+     regression): ``layernorm_qkv_w8a8`` and ``layernorm_fc1_gelu_w8a8``
+     execute at bs=32 (the bench's serving batch) — the round-4 fused-fc1
+     kernel was interpret-green but Mosaic-illegal at ANY batch > 1
+     (BENCH_r04), and check 9's bs=2 composition was recorded before the
+     kernel landed, so nothing on chip had ever run it.  Both kernels must
+     lower, execute, stay finite, and match the unfused XLA quant
+     composition bit-for-bit on the int8 codes / tightly on the scales.
 
 Exit code 0 = all checks pass.  ~3-4 min on a fresh process (compiles);
 seconds when the compile cache is warm.
@@ -392,6 +400,91 @@ def main() -> int:
         )
     except Exception as e:  # noqa: BLE001
         check("int8 W8A8 live path finite + tracks full precision", False,
+              f"raised: {type(e).__name__}: {e}")
+
+    # 10. fused int8 kernels at PRODUCTION batch: the round-4 fused-fc1
+    # kernel lowered only at bs=1 (Mosaic-illegal (1, bq) scale block);
+    # interpret tests could not see it and check 9's bs=2 predates the
+    # kernel.  Run both fused kernels at the bench's serving batch and pin
+    # them against the unfused XLA quant composition.
+    try:
+        from ucod_dpl_tpu.ops.fused_layers import (
+            layernorm_fc1_gelu_w8a8,
+            layernorm_qkv_w8a8,
+        )
+        from ucod_dpl_tpu.ops.quant import quantize_linear
+
+        bsq, Lq, dq, dfq = 32, 1370, 768, 3072
+        xq = jnp.asarray(
+            rng.standard_normal((bsq, Lq, dq)).astype(np.float32), dtype=dtype
+        )
+        norm_p = {
+            "scale": jnp.asarray(1.0 + 0.1 * rng.standard_normal(dq), jnp.float32),
+            "bias": jnp.asarray(0.1 * rng.standard_normal(dq), jnp.float32),
+        }
+
+        def rand_q8(din, dout, seed):
+            r = np.random.default_rng(seed)
+            return quantize_linear(
+                {
+                    "w": jnp.asarray(
+                        r.standard_normal((din, dout)).astype(np.float32) * 0.05
+                    ),
+                    "b": jnp.asarray(r.standard_normal(dout).astype(np.float32) * 0.01),
+                }
+            )
+
+        q8q, q8k, q8v = (rand_q8(dq, dq, s) for s in (10, 11, 12))
+        q8f = rand_q8(dq, dfq, 13)
+
+        t0 = time.perf_counter()
+        qkv = jax.jit(
+            lambda x, n, a, b_, c: layernorm_qkv_w8a8(x, n, a, b_, c, 1e-6)
+        )(xq, norm_p, q8q, q8k, q8v)
+        g_q, g_s = jax.jit(
+            lambda x, n, f: layernorm_fc1_gelu_w8a8(x, n, f, 1e-6)
+        )(xq, norm_p, q8f)
+        qkv = [np.asarray(t, np.float32) for t in qkv]
+        g_q = np.asarray(g_q)
+        g_s = np.asarray(g_s, np.float32)
+
+        os.environ["UCOD_DISABLE_PALLAS"] = "1"
+        try:
+            qkv_ref = jax.jit(
+                lambda x, n, a, b_, c: layernorm_qkv_w8a8(x, n, a, b_, c, 1e-6)
+            )(xq, norm_p, q8q, q8k, q8v)
+            gr_q, gr_s = jax.jit(
+                lambda x, n, f: layernorm_fc1_gelu_w8a8(x, n, f, 1e-6)
+            )(xq, norm_p, q8f)
+        finally:
+            os.environ.pop("UCOD_DISABLE_PALLAS", None)
+        qkv_ref = [np.asarray(t, np.float32) for t in qkv_ref]
+        gr_q = np.asarray(gr_q)
+        gr_s = np.asarray(gr_s, np.float32)
+
+        qkv_rel = max(
+            float(np.max(np.abs(a - b_)) / (np.max(np.abs(b_)) + 1e-9))
+            for a, b_ in zip(qkv, qkv_ref)
+        )
+        # int8 codes: allow one quantum of rounding skew between pallas-f32
+        # and XLA-f32 LN/gelu arithmetic; scales track per-token magnitudes
+        code_d = int(np.max(np.abs(g_q.astype(np.int32) - gr_q.astype(np.int32))))
+        s_rel = float(np.max(np.abs(g_s - gr_s)) / (np.max(np.abs(gr_s)) + 1e-9))
+        ok10 = (
+            all(np.isfinite(a).all() for a in qkv)
+            and np.isfinite(g_s).all()
+            and qkv_rel < 0.02
+            and code_d <= 1
+            and s_rel < 0.02
+        )
+        check(
+            "fused int8 kernels at bs=32 (lowering + parity)",
+            bool(ok10),
+            f"qkv_rel={qkv_rel:.4f} code_maxdiff={code_d} scale_rel={s_rel:.4f}"
+            f" ({time.perf_counter()-t0:.0f}s)",
+        )
+    except Exception as e:  # noqa: BLE001
+        check("fused int8 kernels at bs=32 (lowering + parity)", False,
               f"raised: {type(e).__name__}: {e}")
 
     print("SELF-CHECK:", "OK" if not failures else f"FAILED ({failures})")

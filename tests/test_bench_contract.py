@@ -24,6 +24,7 @@ EXTRA_NAMES = (
     "stage-1 train step",
     "LoRA joint train step",
     "int8 W8A8 backbone",
+    "int8 raw matmul chain",
 )
 
 
@@ -213,14 +214,21 @@ def test_bench_json_contract_tiny_cpu():
     assert d["peak_bf16_tflops"] is None and d["mfu"] is None  # unknown on cpu
 
     # extras: each hot path either reported a number or left an explicit
-    # PER-EXTRA omission note on stderr (absurd-timing guard on a
-    # contended host) — NEVER silently absent.  The omission match is
-    # name-specific: a generic "omitted" test would let one legitimately
-    # omitted extra mask a different extra silently vanishing.
+    # PER-EXTRA omission record — MACHINE-VISIBLE in the JSON itself
+    # ("omitted_extras"), not stderr-only (ADVICE r4) — NEVER silently
+    # absent.  The omission match is name-specific: a generic "omitted"
+    # test would let one legitimately omitted extra mask a different extra
+    # silently vanishing.
+    assert isinstance(d["omitted_extras"], list)
     reported = {m["metric"] for m in d["metrics"]}
+    omitted_names = [o["metric"] for o in d["omitted_extras"]]
     for name in EXTRA_NAMES:
         hit = any(name in m for m in reported)
-        omitted = f"extra omitted [{name}]" in r.stderr
-        assert hit or omitted, (name, reported, r.stderr[-800:])
+        omitted = any(name in o for o in omitted_names)
+        assert hit or omitted, (name, reported, d["omitted_extras"])
+        if omitted:  # stderr note still present for humans watching a run
+            assert f"extra omitted [{name}]" in r.stderr
     for m in d["metrics"]:
-        assert m["value"] > 0 and m["unit"] in ("img/s", "ms/step"), m
+        assert m["value"] > 0 and m["unit"] in ("img/s", "ms/step", "x speedup"), m
+    for o in d["omitted_extras"]:
+        assert o["reason"], o

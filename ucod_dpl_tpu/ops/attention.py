@@ -209,7 +209,7 @@ def _pallas_attention(q_h, k_h, v_h, scale: float, block_q: int = 256):
     :func:`_pallas_attention_packed`."""
     bh, seq_len, d = q_h.shape
     lp = _ceil_to(seq_len, block_q)
-    padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != seq_len and _needs_host_padding()
     if padded:  # the (CPU-hosted) interpreter lacks Mosaic's boundary masking
         q_h, k_h, v_h = (
             jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q_h, k_h, v_h)
@@ -263,7 +263,7 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float, rowmax: bool
     assert num_heads % 2 == 0 and (2 * hd) % 128 == 0
     lp = _ceil_to(seq_len, 128)
     block_q = _pick_q_block(lp)
-    padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != seq_len and _needs_host_padding()
     if padded:
         # the Pallas interpreter (env flag or force_tpu_interpret_mode, both
         # CPU-hosted) does not mask boundary blocks like Mosaic does; pad
@@ -419,7 +419,7 @@ def _pallas_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
         f"flash backward infeasible at Lp={lp} (scoped-vmem law) — the VJP "
         "wrapper should have taken the XLA fallback"
     )
-    padded = lp != seq_len and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != seq_len and _needs_host_padding()
     if padded:  # interpreter lacks Mosaic's boundary masking (see forward)
         q, k, v, o, do = (
             jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q, k, v, o, do)
@@ -569,7 +569,30 @@ def _interpret() -> bool:
     """UCOD_PALLAS_INTERPRET=1 runs the kernels through the Pallas
     interpreter on any backend — used by the multi-chip dryrun to exercise
     the exact kernel path per shard_map shard without TPU hardware."""
+    if _assume_mosaic():
+        return False
     return _env_flag("UCOD_PALLAS_INTERPRET")
+
+
+def _assume_mosaic() -> bool:
+    """UCOD_ASSUME_MOSAIC=1: trace the kernels exactly as they would trace on
+    a real TPU (Pallas path taken, NO host-side padding, interpret=False) on
+    any backend.  For ABSTRACT tracing only (``jax.eval_shape``): executing
+    the resulting program off-TPU would fail.  Used by the static Mosaic
+    block-legality validator (ops/pallas_legality.py) so the CPU suite sees
+    the same BlockSpec/array-shape pairs Mosaic will be asked to lower —
+    the interpret-green/chip-broken hole BENCH_r04 exposed."""
+    return _env_flag("UCOD_ASSUME_MOSAIC")
+
+
+def _needs_host_padding() -> bool:
+    """Kernels need explicit host-side padding wherever Mosaic's boundary
+    masking is absent: the (CPU-hosted) Pallas interpreter and non-TPU
+    backends.  On real TPU (or when statically tracing as-if-TPU) block
+    shapes need not divide the sequence."""
+    if _assume_mosaic():
+        return False
+    return _interpret() or jax.default_backend() != "tpu"
 
 
 _DIFFERENTIABLE_DEPTH = 0
@@ -602,7 +625,7 @@ def _pallas_available() -> bool:
     """Hardware/interpreter gate alone, ignoring differentiability."""
     if _env_flag("UCOD_DISABLE_PALLAS"):
         return False
-    if _interpret():
+    if _interpret() or _assume_mosaic():
         return True
     try:
         return jax.default_backend() == "tpu"

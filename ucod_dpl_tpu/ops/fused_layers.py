@@ -19,7 +19,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ucod_dpl_tpu.ops.attention import _ceil_to, _interpret, use_pallas
+from ucod_dpl_tpu.ops.attention import (
+    _ceil_to,
+    _interpret,
+    _needs_host_padding,
+    use_pallas,
+)
+from ucod_dpl_tpu.ops.quant import _EPS  # single source of truth for the scale floor
 
 _BQ = 704  # rows per program: best measured at ViT-B 518px shapes
 
@@ -46,7 +52,7 @@ def _pallas_layernorm_qkv(x, ln_scale, ln_bias, wq, wk, wv, bqkv, eps: float):
     b, l, d = x.shape
     bq = min(_BQ, _ceil_to(l, 128))
     lp = _ceil_to(l, bq)
-    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != l and _needs_host_padding()
     if padded:  # the (CPU-hosted) interpreter lacks Mosaic's boundary masking
         x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
     out_len = lp if padded else l
@@ -96,7 +102,7 @@ def _pallas_layernorm_fc1_gelu(x, ln_scale, ln_bias, w1, b1, eps: float):
     df = w1.shape[-1]
     bq = min(_BQ_FC1, _ceil_to(l, 128))
     lp = _ceil_to(l, bq)
-    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != l and _needs_host_padding()
     if padded:
         x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
     out_len = lp if padded else l
@@ -164,7 +170,7 @@ def _lnqkv_w8a8_kernel(
     var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
     h = (xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
     # per-token symmetric int8 (mirrors ops/quant.py::quantize_act)
-    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12)
+    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, _EPS)
     h_q = jnp.clip(jnp.round(h / s_x), -127.0, 127.0).astype(jnp.int8)
     for idx, (w_ref, o_ref) in enumerate(
         ((wq_ref, q_ref), (wk_ref, k_ref), (wv_ref, v_ref))
@@ -179,7 +185,7 @@ def _pallas_layernorm_qkv_w8a8(x, ln_scale, ln_bias, wq, wk, wv, wsc, bqkv, eps)
     b, l, d = x.shape
     bq = min(_BQ, _ceil_to(l, 128))
     lp = _ceil_to(l, bq)
-    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != l and _needs_host_padding()
     if padded:
         x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
     out_len = lp if padded else l
@@ -206,6 +212,7 @@ def _pallas_layernorm_qkv_w8a8(x, ln_scale, ln_bias, wq, wk, wv, wsc, bqkv, eps)
 
 
 _BQ_FC1_Q8 = 256  # (bq,3072) f32 intermediates: 256 keeps the tile ~10MB
+_SCALE_LANES = 8  # lane width of the per-token-scale output (see kernel note)
 
 
 def _lnfc1gelu_w8a8_kernel(
@@ -219,14 +226,19 @@ def _lnfc1gelu_w8a8_kernel(
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
     h = (xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
-    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12)
+    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, _EPS)
     h_q = jnp.clip(jnp.round(h / s_x), -127.0, 127.0).astype(jnp.int8)
     acc = jnp.dot(h_q, w1_ref[...], preferred_element_type=jnp.int32)
     h1 = acc.astype(jnp.float32) * (s_x * ws_ref[0]) + b1_ref[0]
     g = jax.nn.gelu(h1, approximate=True)
-    s1 = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0, 1e-12)
+    s1 = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0, _EPS)
     oq_ref[0] = jnp.clip(jnp.round(g / s1), -127.0, 127.0).astype(jnp.int8)
-    os_ref[0] = s1[:, 0]
+    # The per-token scale leaves the kernel broadcast over a small lane dim:
+    # a (bq,) / (1, bq) output block puts bq in the LANE position where
+    # Mosaic requires %128==0 or ==array-dim — illegal for B>1 (the exact
+    # lowering failure BENCH_r04 recorded).  (bq, _SCALE_LANES) keeps bq in
+    # the sublane slot (%8==0) and the lane dim equal to the array dim.
+    os_ref[0] = jnp.broadcast_to(s1, (s1.shape[0], _SCALE_LANES))
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -235,7 +247,7 @@ def _pallas_lnfc1gelu_w8a8(x, ln_scale, ln_bias, w1_q, w1_s, b1, eps: float):
     df = w1_q.shape[-1]
     bq = min(_BQ_FC1_Q8, _ceil_to(l, 128))
     lp = _ceil_to(l, bq)
-    padded = lp != l and (_interpret() or jax.default_backend() != "tpu")
+    padded = lp != l and _needs_host_padding()
     if padded:
         x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
     out_len = lp if padded else l
@@ -255,20 +267,22 @@ def _pallas_lnfc1gelu_w8a8(x, ln_scale, ln_bias, w1_q, w1_s, b1, eps: float):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, df), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda bb, i: (bb, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bq, _SCALE_LANES),
+                lambda bb, i: (bb, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, out_len, df), jnp.int8),
-            jax.ShapeDtypeStruct((b, out_len), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_len, _SCALE_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
     )(x, ln_scale, ln_bias, w1_q, w1_s, b1)
-    if padded:
-        h1_q, s1 = h1_q[:, :l, :], s1[:, :l]
-    return h1_q, s1[..., None]
+    return h1_q[:, :l, :], s1[:, :l, :1]
 
 
 def layernorm_fc1_gelu_w8a8(x, norm_params, q8_fc1, eps: float):
