@@ -141,18 +141,26 @@ def test_sp_key_fold_matches():
 
 
 def test_sp_guards():
-    """sp_shard is mutually exclusive with tp_shard / CLS attention / int8 —
-    each must raise a ValueError that survives `python -O`."""
+    """sp_shard is mutually exclusive with CLS attention / int8, and a
+    tp_shard on a DIFFERENT mesh — each must raise a ValueError that
+    survives `python -O`.  (sp+tp on ONE mesh is the supported 2D path.)"""
     bb = init_dino(jax.random.PRNGKey(0), CFG)
     px = jnp.zeros((1, 28, 28, 3), jnp.float32)
     mesh = build_mesh({"data": 2, "seq": 4})
+    other = build_mesh({"model": 2, "seq": 4})
     sp = (mesh, "seq")
-    with pytest.raises(ValueError, match="2D"):
-        dino_forward(bb, px, CFG, sp_shard=sp, tp_shard=(mesh, "data"))
+    with pytest.raises(ValueError, match="share one Mesh"):
+        dino_forward(bb, px, CFG, sp_shard=sp, tp_shard=(other, "model"))
     with pytest.raises(ValueError, match="parity"):
         dino_forward(bb, px, CFG, sp_shard=sp, want_cls_attention=True)
     with pytest.raises(ValueError, match="single-chip"):
         dino_forward(bb, px, CFG, sp_shard=sp, quant={"layers": []})
+    # the ring axis cannot double as the head axis
+    q = k = v = jnp.zeros((1, 8, 128), jnp.float32)
+    with pytest.raises(ValueError, match="differ from the ring axis"):
+        ring_attention(
+            q, k, v, 8, scale=0.125, mesh=mesh, axis="seq", h_axis="seq"
+        )
 
 
 def test_sp_reaches_runner_surface(tmp_path):
@@ -310,20 +318,15 @@ def test_sp_lora_train_step_matches_unsharded():
         )
 
 
-def test_sp_extractor_rejects_tp_and_int8_combos(tmp_path):
+def test_sp_extractor_rejects_int8(tmp_path):
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_eval_e2e import _make_synthetic_dataset, _tiny_cfg
     from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
-    from ucod_dpl_tpu.engine import Runner
 
     _make_synthetic_dataset(tmp_path / "RefCOD", n=3)
     cfg = _tiny_cfg(tmp_path)
-    cfg.tpu_cfg.mesh = {"data": 2, "model": 2, "seq": 2}
-    with pytest.raises(ValueError, match="2D"):
-        Runner(cfg, mode="eval")
-
     mesh = build_mesh({"data": 2, "seq": 4})
     with pytest.raises(ValueError, match="single-chip"):
         FeatureExtractor(

@@ -160,12 +160,9 @@ class FeatureExtractor:
                 )
         self.sp_shard = None
         if mesh is not None and mesh.shape.get("seq", 1) > 1:
-            if self.tp_shard is not None:
-                raise ValueError(
-                    "tpu_cfg.mesh with both model>1 and seq>1: 2D-sharded "
-                    "attention is not implemented — pick heads (model) or "
-                    "tokens (seq)"
-                )
+            # tp_shard composes: 2D-sharded attention (heads over `model`,
+            # tokens ringing over `seq` — dino_forward routes the combined
+            # case through ring_attention's h_axis)
             if jax.process_count() > 1:
                 # same lockstep argument as TP above: extract() must stay
                 # per-process work under the data-sharded eval loops
@@ -192,9 +189,15 @@ class FeatureExtractor:
             from ucod_dpl_tpu.parallel.tp import shard_dino_params
 
             self.params = shard_dino_params(self.params, mesh)
+            sp_note = (
+                f" x seq={mesh.shape['seq']} (2D-sharded attention)"
+                if self.sp_shard is not None
+                else ""
+            )
             self.logger.log(
                 f"FeatureExtractor: tensor-parallel backbone over "
-                f"model={mesh.shape['model']} (x data={mesh.shape.get('data', 1)})"
+                f"model={mesh.shape['model']}{sp_note} "
+                f"(x data={mesh.shape.get('data', 1)})"
             )
         elif self.sp_shard is not None:
             # params stay replicated under SP; only activations shard

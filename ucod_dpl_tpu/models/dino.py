@@ -368,10 +368,11 @@ def dino_forward(
         for high-res extraction AND fine-tuning: the ring carries its own
         flash-style VJP (``parallel/sp.py::_local_ring_bwd``), so
         differentiated paths (LoRA training) shard their activation memory
-        over the same axis.  Mutually exclusive with ``tp_shard`` (2D
-        attention sharding is not implemented), with ``want_cls_attention``
-        (the pseudo-label parity contract runs unsharded) and with
-        ``quant``.
+        over the same axis.  COMPOSES with ``tp_shard`` (2D-sharded
+        attention: heads over the model axis, tokens ringing over seq
+        within each head group — both shards must name the same Mesh).
+        Mutually exclusive with ``want_cls_attention`` (the pseudo-label
+        parity contract runs unsharded) and with ``quant``.
       quant: optional pytree from :func:`ucod_dpl_tpu.ops.quant.
         quantize_dino_linears` — routes every transformer-layer linear
         (q/k/v/out/fc1/fc2, and the key_fold matmul) through the int8
@@ -395,10 +396,11 @@ def dino_forward(
     )
     if sp_shard is not None:
         # ValueError (not assert) for the same -O reason as the quant guards
-        if tp_shard is not None:
+        if tp_shard is not None and tp_shard[0] is not sp_shard[0]:
             raise ValueError(
-                "sp_shard + tp_shard (2D-sharded attention) is not implemented; "
-                "pick heads (model axis) or tokens (seq axis)"
+                "sp_shard + tp_shard must share one Mesh (2D-sharded "
+                "attention rings tokens and shards heads on the same device "
+                "grid)"
             )
         if want_cls_attention:
             raise ValueError(
@@ -556,19 +558,24 @@ def dino_forward(
                 )
                 aux["cls_attention"] = jax.nn.softmax(logits, axis=-1)[:, :, 0, :]
 
-        if tp_shard is not None:
+        if sp_shard is not None:
+            from ucod_dpl_tpu.parallel.sp import ring_attention
+
+            # 2D (SP x TP) when tp_shard is also set: the ring is head-local,
+            # so heads shard over the model axis INSIDE the same shard_map —
+            # tokens ring over seq within each head group, zero extra
+            # communication (parallel/sp.py::ring_attention h_axis)
+            attn = ring_attention(
+                q, k, v, cfg.num_heads, scale=scale,
+                mesh=sp_shard[0], axis=sp_shard[1], valid=sp_valid,
+                h_axis=tp_shard[1] if tp_shard is not None else None,
+            )
+        elif tp_shard is not None:
             from ucod_dpl_tpu.ops.attention import tp_multi_head_attention
 
             attn = tp_multi_head_attention(
                 q, k, v, cfg.num_heads, scale=scale,
                 mesh=tp_shard[0], axis=tp_shard[1],
-            )
-        elif sp_shard is not None:
-            from ucod_dpl_tpu.parallel.sp import ring_attention
-
-            attn = ring_attention(
-                q, k, v, cfg.num_heads, scale=scale,
-                mesh=sp_shard[0], axis=sp_shard[1], valid=sp_valid,
             )
         else:
             attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)

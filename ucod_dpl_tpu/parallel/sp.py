@@ -16,6 +16,12 @@ constraint on the residual stream; ring attention is the only part that needs
 an explicit collective.  Config surface: ``tpu_cfg.mesh = {"data": N,
 "seq": M}`` (see ``data/feature_extractor.py``).
 
+Composes with tensor parallelism (2D-sharded attention): attention is
+head-local, so ``ring_attention(h_axis="model")`` shards the head dim over a
+second mesh axis inside the SAME shard_map — tokens ring over ``seq`` within
+each head group, heads split over ``model``, zero communication beyond the 1D
+ring.  Config surface: ``tpu_cfg.mesh = {"data": N, "model": M, "seq": S}``.
+
 Padding: ViT token counts are 1 + grid**2 (2917 at 756px is prime), so the
 token dim rarely divides a ring.  ``ring_attention`` therefore takes a
 ``valid`` mask; padded KEY positions contribute exactly zero probability
@@ -252,18 +258,43 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "seq",
     valid: Optional[jnp.ndarray] = None,
+    h_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention: (B, L, D) with L sharded over ``axis``.
 
     ``valid``: optional (B, L) bool; False marks padding tokens whose keys
     must contribute nothing.  L must divide by the axis size (pad first).
     Accumulation is f32 regardless of input dtype (the flash contract).
+
+    ``h_axis``: optional second mesh axis for 2D-SHARDED attention (SP x TP):
+    the head dim (last dim of q/k/v, column-split by the tensor-parallel
+    projections) shards over ``h_axis`` while tokens ring over ``axis``.
+    Attention is head-local, so the composition is orthogonal — each
+    (seq, model) shard runs the same online-softmax merge on its own head
+    slice and token chunk, and the ppermute ring rotates k/v within each
+    head group (the ``axis`` sub-mesh).  Zero extra communication beyond
+    the 1D ring; requires num_heads divisible by the ``h_axis`` size.
     """
     n = mesh.shape[axis]
     b, l, _ = q.shape
     if valid is None:
         valid = jnp.ones((b, l), bool)
+    if h_axis is not None and mesh.shape[h_axis] == 1:
+        h_axis = None
+    if h_axis is not None:
+        if h_axis == axis:
+            raise ValueError(
+                f"h_axis={h_axis!r} must differ from the ring axis {axis!r}"
+            )
+        if num_heads % mesh.shape[h_axis]:
+            raise ValueError(
+                f"{num_heads} heads not divisible by mesh axis "
+                f"{h_axis}={mesh.shape[h_axis]}"
+            )
     if n == 1:
+        # degenerate ring (possibly head-sharded): the plain masked merge is
+        # correct under GSPMD — head sharding propagates through the local
+        # einsums without collectives since attention is head-local.
         # same math without the ring: one masked merge over the whole L
         qh = _split_heads(q, num_heads).astype(jnp.float32)
         m = jnp.full(qh.shape[:2], _NEG, jnp.float32)
@@ -292,23 +323,37 @@ def ring_attention(
         if "data" in mesh.axis_names
         and mesh.shape["data"] > 1
         and b % mesh.shape["data"] == 0
+        and h_axis != "data"  # an axis can shard heads OR batch, not both
         else None
     )
-    statics = (num_heads, float(scale), mesh, axis, b_axis, n)
+    statics = (num_heads, float(scale), mesh, axis, b_axis, n, h_axis)
     return _ring_attention_sharded(statics, q, k, v, valid)
 
 
 def _ring_kwargs(statics):
-    num_heads, scale, mesh, axis, b_axis, n = statics
+    num_heads, scale, mesh, axis, b_axis, n, h_axis = statics
+    vary = [axis] if b_axis is None else [b_axis, axis]
+    if h_axis is not None:
+        # under 2D sharding the body sees only its LOCAL head slice; every
+        # loop carry varies over the head axis too (different heads per shard)
+        num_heads //= mesh.shape[h_axis]
+        vary.append(h_axis)
     return dict(
         num_heads=num_heads, scale=scale, axis=axis, n_steps=n,
-        vary_axes=(axis,) if b_axis is None else (b_axis, axis),
+        vary_axes=tuple(vary),
     )
 
 
 def _ring_specs(statics):
-    _, _, mesh, axis, b_axis, _ = statics
-    return mesh, P(b_axis, axis, None), P(b_axis, axis), P(b_axis, None, axis)
+    _, _, mesh, axis, b_axis, _, h_axis = statics
+    # h_axis shards the head (last) dim of q/k/v/o and the head dim of the
+    # lse; the mask has no head dim and replicates over h_axis
+    return (
+        mesh,
+        P(b_axis, axis, h_axis),
+        P(b_axis, axis),
+        P(b_axis, h_axis, axis),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
