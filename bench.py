@@ -619,7 +619,11 @@ def _measure_extras(
                 "model_cfg": {
                     "dim": cfg.hidden_size, "feature_size": 68,
                     "ema_weight": 0.99, "dis_use_features": False,
-                    "lora": {"rank": 2, "alpha": 4.0, "remat": True},
+                    # remat "none": fastest at bs16@518 on a 16GB chip
+                    # (measured A/B in scripts/microbench/bench_lora_remat.py:
+                    # layer 123.7 / dots 121.2 / none 109.7 ms) — matches the
+                    # shipped config default
+                    "lora": {"rank": 2, "alpha": 4.0, "remat": "none"},
                 },
                 "train_cfg": {
                     "max_epoch": 25, "start_finetune": -5, "merge_method": "dis",

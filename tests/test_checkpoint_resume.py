@@ -2,6 +2,7 @@
 training continuation equivalence."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ from ucod_dpl_tpu.engine.train_step import make_optimizer, make_train_step
 from test_train import DIM, _batch, _init_state, _train_cfg
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 def test_state_roundtrip_bit_exact(tmp_path):
     cfg = _train_cfg()
     optimizer = make_optimizer(2e-4, 0.95, 25)
@@ -135,6 +137,7 @@ def test_refiner_loader_rejects_partial_checkpoint(tmp_path):
         load_refiner_checkpoint(p)
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 def test_metric_pool_backpressure_bounds_pending(tmp_path):
     """With workers > 0 the pending-futures queue must stay bounded (each
     queued item pins two full-res float64 images; an unbounded queue OOMs

@@ -85,6 +85,7 @@ def test_prefetch_producer_stops_on_abandoned_iteration():
     assert threading.active_count() <= before, "producer thread leaked"
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 def test_stale_feature_cache_invalidated_on_dataset_change(tmp_path):
     """Caches are positional: a grown dataset must trigger a rebuild (not a
     KeyError mid-train), and a same-count rename must be caught by the

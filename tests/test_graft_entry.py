@@ -17,6 +17,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 def test_entry_shapes():
     import jax
 

@@ -1,6 +1,7 @@
 """LoRA backbone adaptation: zero-init identity, merge math, trainability."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -69,10 +70,14 @@ def test_remat_forward_and_grad_match():
         return jnp.sum(out["key_features"] ** 2)
 
     g1 = jax.grad(lambda l: loss(l, False))(lora)
-    g2 = jax.grad(lambda l: loss(l, True))(lora)
-    np.testing.assert_allclose(
-        np.asarray(g1[0]["q"]["b"]), np.asarray(g2[0]["q"]["b"]), rtol=1e-5, atol=1e-6
-    )
+    for mode in (True, "dots"):  # layer-granularity and matmul-saving policy
+        g2 = jax.grad(lambda l: loss(l, mode))(lora)
+        np.testing.assert_allclose(
+            np.asarray(g1[0]["q"]["b"]), np.asarray(g2[0]["q"]["b"]),
+            rtol=1e-5, atol=1e-6, err_msg=f"remat={mode}",
+        )
+    with pytest.raises(ValueError, match="dots"):
+        dino_forward(bb, px, CFG, remat="typo")
 
 
 def test_lora_gradients_flow_only_to_adapters():

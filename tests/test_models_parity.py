@@ -180,6 +180,7 @@ def _torch_dis_to_params(torch_dis, use_features: bool):
     return params, stats
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 @pytest.mark.parametrize("use_features", [False, True])
 def test_discriminator_parity(ref_modules, use_features):
     import torch

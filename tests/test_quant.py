@@ -192,7 +192,7 @@ def test_predictor_int8_smoke():
     with pytest.raises(ValueError, match="int8"):
         Predictor(fe, decoder, quantize="int4", **kw)
 
-def _tiny_fe(quantize=None, hidden=64):
+def _tiny_fe(quantize=None, hidden=64, mesh=None):
     from ucod_dpl_tpu.config import CfgNode
     from ucod_dpl_tpu.data.feature_extractor import FeatureExtractor
 
@@ -209,6 +209,7 @@ def _tiny_fe(quantize=None, hidden=64):
             }
         ),
         quantize=quantize,
+        mesh=mesh,
     )
 
 
@@ -226,6 +227,25 @@ def test_feature_extractor_int8_extract_agreement():
     assert not np.array_equal(ref, got)  # int8 path actually taken
     for a, b in zip(fe32.extract_with_attention(px), fe8.extract_with_attention(px)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_feature_extractor_int8_dp_mesh():
+    """int8 serving COMPOSES with data parallelism: a {data: N} mesh shards
+    the batch while every chip runs the full W8A8 backbone — the supported
+    cell of the int8 x parallelism matrix (TP and SP are rejected: TP shards
+    the very weights quantization folds, SP shards the token dim the
+    per-token scales are computed over).  Sharded extract == unsharded."""
+    from ucod_dpl_tpu.parallel import build_mesh
+
+    fe8 = _tiny_fe(quantize="int8")
+    rng = np.random.default_rng(11)
+    px = rng.standard_normal((8, 56, 56, 3)).astype(np.float32)
+    ref = fe8.extract(px)
+
+    fe8_dp = _tiny_fe(quantize="int8", mesh=build_mesh({"data": 8}))
+    assert fe8_dp.tp_shard is None and fe8_dp.sp_shard is None
+    got = fe8_dp.extract(px)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
 
 def test_dataset_cache_refuses_quantized_extractor(tmp_path):
@@ -278,6 +298,7 @@ def test_dataset_cache_refuses_quantized_extractor(tmp_path):
     )
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 def test_refine_predictor_int8_smoke():
     """Stage-2 serving opt-in: a quantized RefinePredictor yields valid
     masks that substantially agree with the f32 one (all three live

@@ -141,6 +141,7 @@ def _random_inputs(seed=1, b=2):
     return l_feat, h_feat, preds
 
 
+@pytest.mark.heavy  # oracle/e2e composition: full gate only (quick-loop rebalance, round 11)
 def test_refiner_forward_parity(small_ref):
     import torch
 

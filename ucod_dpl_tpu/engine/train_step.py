@@ -242,7 +242,12 @@ def make_lora_train_step(
     lc = cfg.model_cfg.lora
     rank = int(lc.get("rank", 2))
     alpha = float(lc.get("alpha", 4.0))
-    remat = bool(lc.get("remat", True))
+    # bool (False=none / True=layer) or one of "none"/"layer"/"dots" —
+    # "dots" saves matmul outputs and replays only elementwise chains in
+    # the backward (models/dino.py::dino_forward remat modes)
+    remat = lc.get("remat", True)
+    if not isinstance(remat, str):
+        remat = bool(remat)
 
     from ucod_dpl_tpu.models.lora import lora_forward
 

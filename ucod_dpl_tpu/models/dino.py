@@ -621,8 +621,43 @@ def dino_forward(
         return x + h2, aux
 
     # remat trades recompute for activation memory when the backbone is part
-    # of a differentiated path (LoRA fine-tuning)
-    run_layer = jax.checkpoint(layer_fn, static_argnums=(2,)) if remat else layer_fn
+    # of a differentiated path (LoRA fine-tuning).  Modes:
+    #   False/"none"  — no remat: every activation saved (cheapest compute,
+    #                   highest memory);
+    #   True/"layer"  — full layer-granularity remat: only block inputs
+    #                   saved, the whole layer forward re-executes in the
+    #                   backward (~+1 fwd of MXU work);
+    #   "dots"        — policy remat: MATMUL outputs are saved, only
+    #                   elementwise chains (LN, gelu, residual adds) replay —
+    #                   the backward's extra FLOPs drop from a full forward
+    #                   to VPU-only work, for ~40% of the no-remat memory
+    #                   (the flash-attention VJP keeps its own q/k/v/o+lse
+    #                   residuals either way; policies cannot see inside a
+    #                   custom_vjp).
+    # Measured on v5e, bs16@518px LoRA joint step
+    # (scripts/microbench/bench_lora_remat.py): layer 123.7 ms (14.9 TF
+    # executed) / dots 121.2 ms (12.7 TF) / none 109.7 ms (11.6 TF) — the
+    # backward is HBM-bound enough that dots' saved FLOPs barely pay, while
+    # no-remat wins 11% and fits 16GB at this shape.  Use "none" when the
+    # batch x resolution fits, "layer" (the safe default) otherwise; "dots"
+    # is the middle ground for shapes where none OOMs.
+    if isinstance(remat, str):
+        if remat in ("none", ""):
+            run_layer = layer_fn
+        elif remat == "layer":
+            run_layer = jax.checkpoint(layer_fn, static_argnums=(2,))
+        elif remat == "dots":
+            run_layer = jax.checkpoint(
+                layer_fn,
+                static_argnums=(2,),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            raise ValueError(
+                f"remat={remat!r}: expected False/'none', True/'layer', or 'dots'"
+            )
+    else:
+        run_layer = jax.checkpoint(layer_fn, static_argnums=(2,)) if remat else layer_fn
 
     for i, layer in enumerate(params["layers"]):
         is_last = i == n_layers - 1
