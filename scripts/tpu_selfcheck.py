@@ -409,10 +409,11 @@ def main() -> int:
     # them against the unfused XLA quant composition.
     try:
         from ucod_dpl_tpu.ops.fused_layers import (
+            dense_quant_w8a8,
             layernorm_fc1_gelu_w8a8,
             layernorm_qkv_w8a8,
         )
-        from ucod_dpl_tpu.ops.quant import quantize_linear
+        from ucod_dpl_tpu.ops.quant import dense_w8a8, quantize_linear
 
         bsq, Lq, dq, dfq = 32, 1370, 768, 3072
         xq = jnp.asarray(
@@ -444,9 +445,11 @@ def main() -> int:
         g_q, g_s = jax.jit(
             lambda x, n, f: layernorm_fc1_gelu_w8a8(x, n, f, 1e-6)
         )(xq, norm_p, q8f)
+        qd = jax.jit(lambda x, p: dense_quant_w8a8(x, p, x.dtype))(xq, q8q)
         qkv = [np.asarray(t, np.float32) for t in qkv]
         g_q = np.asarray(g_q)
         g_s = np.asarray(g_s, np.float32)
+        qd = np.asarray(qd, np.float32)
 
         os.environ["UCOD_DISABLE_PALLAS"] = "1"
         try:
@@ -456,11 +459,13 @@ def main() -> int:
             gr_q, gr_s = jax.jit(
                 lambda x, n, f: layernorm_fc1_gelu_w8a8(x, n, f, 1e-6)
             )(xq, norm_p, q8f)
+            qd_ref = jax.jit(lambda x, p: dense_w8a8(x, p, x.dtype))(xq, q8q)
         finally:
             os.environ.pop("UCOD_DISABLE_PALLAS", None)
         qkv_ref = [np.asarray(t, np.float32) for t in qkv_ref]
         gr_q = np.asarray(gr_q)
         gr_s = np.asarray(gr_s, np.float32)
+        qd_ref = np.asarray(qd_ref, np.float32)
 
         qkv_rel = max(
             float(np.max(np.abs(a - b_)) / (np.max(np.abs(b_)) + 1e-9))
@@ -470,18 +475,23 @@ def main() -> int:
         # and XLA-f32 LN/gelu arithmetic; scales track per-token magnitudes
         code_d = int(np.max(np.abs(g_q.astype(np.int32) - gr_q.astype(np.int32))))
         s_rel = float(np.max(np.abs(g_s - gr_s)) / (np.max(np.abs(gr_s)) + 1e-9))
+        # fused quant+dense has NO arithmetic difference from dense_w8a8
+        # (same quantize, same dot, same rescale order) — tight bound
+        qd_rel = float(np.max(np.abs(qd - qd_ref)) / (np.max(np.abs(qd_ref)) + 1e-9))
         ok10 = (
             all(np.isfinite(a).all() for a in qkv)
             and np.isfinite(g_s).all()
+            and np.isfinite(qd).all()
             and qkv_rel < 0.02
             and code_d <= 1
             and s_rel < 0.02
+            and qd_rel < 1e-3
         )
         check(
             "fused int8 kernels at bs=32 (lowering + parity)",
             bool(ok10),
             f"qkv_rel={qkv_rel:.4f} code_maxdiff={code_d} scale_rel={s_rel:.4f}"
-            f" ({time.perf_counter()-t0:.0f}s)",
+            f" quantdense_rel={qd_rel:.5f} ({time.perf_counter()-t0:.0f}s)",
         )
     except Exception as e:  # noqa: BLE001
         check("fused int8 kernels at bs=32 (lowering + parity)", False,

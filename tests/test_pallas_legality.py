@@ -14,7 +14,7 @@ the exact last-two-dims rule Mosaic enforces at lowering time
 Shape matrix = everything the production paths can produce: bs 1/2/16/32,
 518px (L=1370) / 756px (L=2917) / an exact-multiple length (L=1280),
 f32 and bf16, forward AND flash-backward (LoRA training), both attention
-layouts, all four fused LN kernels.
+layouts, the four fused LN kernels and the fused quant+dense kernel.
 """
 
 import jax
@@ -89,6 +89,9 @@ def _traced_cases(b, l, dtype):
         ("layernorm_fc1_gelu_w8a8",
          lambda xx, n, f: fl.layernorm_fc1_gelu_w8a8(xx, n, f, 1e-6),
          (x, norm, q8_f)),
+        ("dense_quant_w8a8",
+         lambda xx, qd: fl.dense_quant_w8a8(xx, qd, dtype),
+         (x, q8_d)),
         ("attention_packed_fwd", attn_fwd, (x, x, x)),
         ("attention_packed_grad", attn_grad, (x, x, x)),
         ("attention_perhead", attn_perhead, (x, x, x)),

@@ -421,3 +421,31 @@ def test_lnfc1gelu_w8a8_kernel_matches_fallback(monkeypatch):
     )
     assert code_diff.max() <= 1, code_diff.max()  # rounding ties only
     assert (code_diff == 0).mean() > 0.99
+
+
+def test_quant_dense_w8a8_kernel_matches_fallback(monkeypatch):
+    """The fused quantize+matmul kernel (the int8 attention out-projection,
+    interpret mode) is BIT-IDENTICAL to ops/quant.dense_w8a8: same per-token
+    quantization (same _EPS floor, same rounding), same int8 dot, same f32
+    rescale order — the kernel only removes the HBM round-trip, not a single
+    arithmetic difference."""
+    from ucod_dpl_tpu.ops.fused_layers import dense_quant_w8a8
+    from ucod_dpl_tpu.ops.quant import dense_w8a8
+
+    rng = np.random.default_rng(9)
+    d, dout = 128, 128
+    x = jnp.asarray(rng.standard_normal((2, 37, d)).astype(np.float32))
+    q8 = quantize_linear(
+        {
+            "w": jnp.asarray(rng.standard_normal((d, dout)), jnp.float32) / d**0.5,
+            "b": jnp.asarray(rng.standard_normal(dout), jnp.float32) * 0.1,
+        }
+    )
+    ref = dense_w8a8(x, q8, jnp.float32)
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    got = dense_quant_w8a8(x, q8, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    # dtype mismatch or off-TPU: falls back to the unfused path, same result
+    monkeypatch.delenv("UCOD_PALLAS_INTERPRET")
+    got_fb = dense_quant_w8a8(x, q8, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got_fb), np.asarray(ref))

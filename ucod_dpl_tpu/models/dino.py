@@ -33,6 +33,7 @@ import numpy as np
 
 from ucod_dpl_tpu.ops.attention import multi_head_attention
 from ucod_dpl_tpu.ops.fused_layers import (
+    dense_quant_w8a8,
     layernorm_fc1_gelu_w8a8,
     layernorm_qkv,
     layernorm_qkv_w8a8,
@@ -580,7 +581,15 @@ def dino_forward(
         else:
             attn = multi_head_attention(q, k, v, cfg.num_heads, scale=scale)
         if "_q8" in layer:
-            attn = dense_w8a8(attn, layer["_q8"]["out"], dtype)
+            # fused quantize+dot: the flash kernel's bf16 output is read
+            # once, quantized in-register, and hits the MXU int8 mode —
+            # ops/quant.dense_w8a8 would round-trip the int8 codes via HBM.
+            # UCOD_INT8_UNFUSED_OUTPROJ=1: A/B escape hatch (read at trace
+            # time; scripts/microbench/bench_int8_outproj.py)
+            if os.environ.get("UCOD_INT8_UNFUSED_OUTPROJ", "") == "1":
+                attn = dense_w8a8(attn, layer["_q8"]["out"], dtype)
+            else:
+                attn = dense_quant_w8a8(attn, layer["_q8"]["out"], dtype)
         else:
             attn = _dense(attn, layer["out"], dtype)
         if cfg.use_layerscale:

@@ -381,3 +381,70 @@ def layernorm_qkv(x, norm_params, q_params, k_params, v_params, eps: float):
         _dense(h, k_params, x.dtype),
         _dense(h, v_params, x.dtype),
     )
+
+
+def _quantdense_w8a8_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref):
+    """Per-token int8 quantization + one W8A8 matmul in a single VMEM
+    residency — the activation is quantized in-register, so the float input
+    is read from HBM exactly once and the int8 codes never round-trip."""
+    xf = x_ref[0].astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, _EPS)
+    x_q = jnp.clip(jnp.round(xf / s_x), -127.0, 127.0).astype(jnp.int8)
+    acc = jnp.dot(x_q, w_ref[...], preferred_element_type=jnp.int32)
+    o = acc.astype(jnp.float32) * (s_x * ws_ref[0]) + b_ref[0]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@jax.jit
+def _pallas_quant_dense_w8a8(x, w_q, w_s, b):
+    b_, l, d = x.shape
+    dout = w_q.shape[-1]
+    bq = min(_BQ, _ceil_to(l, 128))
+    lp = _ceil_to(l, bq)
+    padded = lp != l and _needs_host_padding()
+    if padded:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out_len = lp if padded else l
+
+    grid = (b_, lp // bq)
+    out = pl.pallas_call(
+        _quantdense_w8a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dout), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dout), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dout), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, dout), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_, out_len, dout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, w_q, w_s, b)
+    return out[:, :l, :] if padded else out
+
+
+def dense_quant_w8a8(x, qp, out_dtype):
+    """Fused quantize-and-matmul for a single W8A8 linear on a float input
+    — the attention OUT projection on the int8 path (its input arrives in
+    bf16 from the flash kernel; ``ops/quant.dense_w8a8`` would write the
+    int8 codes through HBM between the VPU quantize and the MXU dot).
+    Bit-identical quantization to ``quantize_act`` (same _EPS floor, same
+    rounding); falls back to the unfused composition off-TPU.  Output dtype
+    must equal ``x.dtype`` on the Pallas path (one out_shape)."""
+    from ucod_dpl_tpu.ops.quant import dense_w8a8
+
+    d = x.shape[-1]
+    dout = qp["w_q"].shape[-1]
+    if use_pallas() and d % 128 == 0 and dout % 128 == 0 and out_dtype == x.dtype:
+        return _pallas_quant_dense_w8a8(
+            x,
+            qp["w_q"],
+            qp["w_s"].astype(jnp.float32).reshape(1, dout),
+            qp["b"].astype(jnp.float32).reshape(1, dout),
+        )
+    return dense_w8a8(x, qp, out_dtype)
