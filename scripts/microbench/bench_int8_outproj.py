@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ucod_dpl_tpu.models.dino import DinoConfig, dino_forward, init_dino
 from ucod_dpl_tpu.ops.quant import quantize_dino_linears
 
-BS, IMG = 32, 518
+BS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+IMG = int(sys.argv[2]) if len(sys.argv) > 2 else 518
 
 
 def marginal(fn, iters=8, repeats=3):
