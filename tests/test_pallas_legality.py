@@ -128,8 +128,13 @@ def test_mosaic_block_legality(l, dtype):
             )
             # non-vacuous: the TPU path must actually have hit Pallas
             # (attention_packed_grad may legitimately take the XLA backward
-            # at long sequences, but its forward still records)
-            assert records, f"{name} @ bs={b} L={l}: no pallas_call traced"
+            # at long sequences, but its forward still records;
+            # dense_quant_w8a8 legitimately falls back above its measured
+            # token-count crossover)
+            if name == "dense_quant_w8a8" and b * l > fl._QUANT_DENSE_MAX_TOKENS:
+                assert not records, f"{name} @ bs={b} L={l}: crossover ignored"
+            else:
+                assert records, f"{name} @ bs={b} L={l}: no pallas_call traced"
 
 
 def test_rule_catches_the_r04_regression():

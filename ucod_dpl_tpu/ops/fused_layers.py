@@ -428,19 +428,38 @@ def _pallas_quant_dense_w8a8(x, w_q, w_s, b):
     return out[:, :l, :] if padded else out
 
 
+# measured crossover for the fused quant+dense kernel (same-process
+# interleaved A/B, scripts/microbench/bench_int8_outproj.py, v5e @518px):
+# bs32 (43.8K tokens) fused wins +0.4%; bs64 (87.7K) fused LOSES 2.2% —
+# above ~64K tokens XLA's batched unfused matmul amortises better than the
+# kernel's per-block weight residency.  Serving defaults (max_batch 16/32)
+# sit comfortably below.
+_QUANT_DENSE_MAX_TOKENS = 65536
+
+
 def dense_quant_w8a8(x, qp, out_dtype):
     """Fused quantize-and-matmul for a single W8A8 linear on a float input
     — the attention OUT projection on the int8 path (its input arrives in
     bf16 from the flash kernel; ``ops/quant.dense_w8a8`` would write the
     int8 codes through HBM between the VPU quantize and the MXU dot).
     Bit-identical quantization to ``quantize_act`` (same _EPS floor, same
-    rounding); falls back to the unfused composition off-TPU.  Output dtype
-    must equal ``x.dtype`` on the Pallas path (one out_shape)."""
+    rounding); falls back to the unfused composition off-TPU, when the
+    output dtype differs from ``x.dtype`` (one out_shape), or above the
+    measured token-count crossover (see _QUANT_DENSE_MAX_TOKENS)."""
     from ucod_dpl_tpu.ops.quant import dense_w8a8
 
     d = x.shape[-1]
     dout = qp["w_q"].shape[-1]
-    if use_pallas() and d % 128 == 0 and dout % 128 == 0 and out_dtype == x.dtype:
+    n_tokens = 1
+    for s in x.shape[:-1]:
+        n_tokens *= s
+    if (
+        use_pallas()
+        and d % 128 == 0
+        and dout % 128 == 0
+        and out_dtype == x.dtype
+        and n_tokens <= _QUANT_DENSE_MAX_TOKENS
+    ):
         return _pallas_quant_dense_w8a8(
             x,
             qp["w_q"],
