@@ -92,6 +92,11 @@ def _traced_cases(b, l, dtype):
         ("dense_quant_w8a8",
          lambda xx, qd: fl.dense_quant_w8a8(xx, qd, dtype),
          (x, q8_d)),
+        ("layernorm_mlp_w8a8",
+         lambda xx, n, f1, f2: fl.layernorm_mlp_w8a8(xx, n, f1, f2, 1e-6),
+         (x, norm, q8_f, {"w_q": sds((DF, D), jnp.int8),
+                          "w_s": sds((D,), jnp.float32),
+                          "b": sds((D,), jnp.float32)})),
         ("attention_packed_fwd", attn_fwd, (x, x, x)),
         ("attention_packed_grad", attn_grad, (x, x, x)),
         ("attention_perhead", attn_perhead, (x, x, x)),

@@ -423,6 +423,53 @@ def test_lnfc1gelu_w8a8_kernel_matches_fallback(monkeypatch):
     assert (code_diff == 0).mean() > 0.99
 
 
+def test_lnmlp_w8a8_kernel_matches_split(monkeypatch):
+    """The whole-MLP int8 kernel (interpret mode) vs the split composition
+    (fused fc1 kernel fallback + dense_w8a8_pre fc2) — same arithmetic, so
+    the only allowed difference is one requant rounding tie propagated
+    through fc2 (<= one fc2 quantum)."""
+    from ucod_dpl_tpu.models.dino import _layernorm
+    from ucod_dpl_tpu.ops.fused_layers import layernorm_mlp_w8a8
+    from ucod_dpl_tpu.ops.quant import dense_w8a8_pre, quantize_act
+
+    rng = np.random.default_rng(13)
+    d, df = 128, 256
+    x = jnp.asarray(rng.standard_normal((2, 37, d)).astype(np.float32))
+    norm = {
+        "scale": jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32),
+        "bias": jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32),
+    }
+    q8_1 = quantize_linear(
+        {
+            "w": jnp.asarray(rng.standard_normal((d, df)), jnp.float32) / d**0.5,
+            "b": jnp.asarray(rng.standard_normal(df), jnp.float32) * 0.1,
+        }
+    )
+    q8_2 = quantize_linear(
+        {
+            "w": jnp.asarray(rng.standard_normal((df, d)), jnp.float32) / df**0.5,
+            "b": jnp.asarray(rng.standard_normal(d), jnp.float32) * 0.1,
+        }
+    )
+
+    h = _layernorm(x, norm, 1e-6)
+    h_q, h_s = quantize_act(h)
+    g = jax.nn.gelu(dense_w8a8_pre(h_q, h_s, q8_1, jnp.float32), approximate=True)
+    g_q, g_s = quantize_act(g)
+    ref = dense_w8a8_pre(g_q, g_s, q8_2, jnp.float32)
+
+    monkeypatch.setenv("UCOD_PALLAS_INTERPRET", "1")
+    got = layernorm_mlp_w8a8(x, norm, q8_1, q8_2, eps=1e-6)
+
+    quantum = float(jnp.max(g_s)) * float(jnp.max(q8_2["w_s"])) * df
+    diff = np.abs(np.asarray(got) - np.asarray(ref))
+    # one fc1-requant rounding tie flips one int8 code feeding a df-wide
+    # accumulation; bound by one quantum per contraction element is loose,
+    # in practice nearly all elements agree to f32 noise
+    assert diff.max() <= quantum + 1e-5, (diff.max(), quantum)
+    assert (diff <= 1e-4).mean() > 0.99
+
+
 def test_quant_dense_w8a8_kernel_matches_fallback(monkeypatch):
     """The fused quantize+matmul kernel (the int8 attention out-projection,
     interpret mode) is BIT-IDENTICAL to ops/quant.dense_w8a8: same per-token

@@ -35,6 +35,7 @@ from ucod_dpl_tpu.ops.attention import multi_head_attention
 from ucod_dpl_tpu.ops.fused_layers import (
     dense_quant_w8a8,
     layernorm_fc1_gelu_w8a8,
+    layernorm_mlp_w8a8,
     layernorm_qkv,
     layernorm_qkv_w8a8,
 )
@@ -606,11 +607,26 @@ def dino_forward(
             # + re-quantization in one kernel — the (L, 4D) hidden expansion
             # leaves it already int8, so fc2 is a bare int8 MXU dot.  gelu
             # is tanh-approx on BOTH backends here (kernel == fallback;
-            # ~1e-3 approximation error, far below the quantization noise)
-            h1_q, s1 = layernorm_fc1_gelu_w8a8(
-                x, layer["norm2"], layer["_q8"]["fc1"], cfg.layer_norm_eps
-            )
-            h2 = dense_w8a8_pre(h1_q, s1, layer["_q8"]["fc2"], dtype)
+            # ~1e-3 approximation error, far below the quantization noise).
+            # UCOD_INT8_WHOLE_MLP=1 routes the WHOLE half (incl. fc2)
+            # through one kernel instead (layernorm_mlp_w8a8) — measured
+            # 6.4% SLOWER at ViT-B bs32@518px (573 vs 612 img/s,
+            # scripts/microbench/bench_int8_mlp.py): co-residing both
+            # weight matrices + the (bq, 4D) intermediates forces the
+            # q-block from 256 down to 128, and the smaller MXU tiles cost
+            # more than the saved (L, 4D) int8 HBM round-trip.  The split
+            # stays default; the flag remains for narrower models where
+            # the whole half fits at a full-size block.
+            if os.environ.get("UCOD_INT8_WHOLE_MLP", "") == "1":
+                h2 = layernorm_mlp_w8a8(
+                    x, layer["norm2"], layer["_q8"]["fc1"],
+                    layer["_q8"]["fc2"], cfg.layer_norm_eps,
+                )
+            else:
+                h1_q, s1 = layernorm_fc1_gelu_w8a8(
+                    x, layer["norm2"], layer["_q8"]["fc1"], cfg.layer_norm_eps
+                )
+                h2 = dense_w8a8_pre(h1_q, s1, layer["_q8"]["fc2"], dtype)
         else:
             h2 = _layernorm(x, layer["norm2"], cfg.layer_norm_eps)
             h2 = _dense(h2, layer["fc1"], dtype)

@@ -319,6 +319,99 @@ def layernorm_fc1_gelu_w8a8(x, norm_params, q8_fc1, eps: float):
     return quantize_act(g)
 
 
+_BQ_MLP_Q8 = 128  # whole-MLP tile: 2x int8 weights (4.5MB) + (bq,4D) f32
+#                   intermediates — 128 rows keeps the residency well under
+#                   the 16MB scoped-vmem limit
+
+
+def _lnmlp_w8a8_kernel(
+    x_ref, s_ref, b_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref, b2_ref,
+    o_ref, *, eps: float,
+):
+    """The ENTIRE int8 MLP half in one kernel: LN + per-token quant + int8
+    fc1 + gelu + per-token requant + int8 fc2.  The (bq, 4D) hidden
+    expansion lives only in VMEM — neither the f32 gelu activations nor
+    their int8 codes ever touch HBM."""
+    xf = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]
+    s_x = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, _EPS)
+    h_q = jnp.clip(jnp.round(h / s_x), -127.0, 127.0).astype(jnp.int8)
+    acc1 = jnp.dot(h_q, w1_ref[...], preferred_element_type=jnp.int32)
+    h1 = acc1.astype(jnp.float32) * (s_x * w1s_ref[0]) + b1_ref[0]
+    g = jax.nn.gelu(h1, approximate=True)
+    s1 = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True) / 127.0, _EPS)
+    g_q = jnp.clip(jnp.round(g / s1), -127.0, 127.0).astype(jnp.int8)
+    acc2 = jnp.dot(g_q, w2_ref[...], preferred_element_type=jnp.int32)
+    o = acc2.astype(jnp.float32) * (s1 * w2s_ref[0]) + b2_ref[0]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _pallas_lnmlp_w8a8(x, ln_scale, ln_bias, w1_q, w1_s, b1, w2_q, w2_s, b2, eps):
+    b, l, d = x.shape
+    df = w1_q.shape[-1]
+    bq = min(_BQ_MLP_Q8, _ceil_to(l, 128))
+    lp = _ceil_to(l, bq)
+    padded = lp != l and _needs_host_padding()
+    if padded:
+        x = jnp.pad(x, [(0, 0), (0, lp - l), (0, 0)])
+    out_len = lp if padded else l
+
+    grid = (b, lp // bq)
+    vec_d = pl.BlockSpec((1, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    vec_f = pl.BlockSpec((1, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_lnmlp_w8a8_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            vec_d, vec_d,
+            pl.BlockSpec((d, df), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            vec_f, vec_f,
+            pl.BlockSpec((df, d), lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            vec_d, vec_d,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_len, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, ln_scale, ln_bias, w1_q, w1_s, b1, w2_q, w2_s, b2)
+    return out[:, :l, :] if padded else out
+
+
+def layernorm_mlp_w8a8(x, norm_params, q8_fc1, q8_fc2, eps: float):
+    """(B, L, D) -> the full int8 MLP half ``fc2_w8a8(requant(gelu(
+    fc1_w8a8(quant(layernorm(x))))))`` in one Pallas kernel — the (L, 4D)
+    hidden expansion never leaves VMEM in any dtype.  Same arithmetic as
+    :func:`layernorm_fc1_gelu_w8a8` + ``dense_w8a8_pre`` (that split is the
+    fallback), so parity bounds carry over unchanged."""
+    d = x.shape[-1]
+    df = q8_fc1["w_q"].shape[-1]
+    if use_pallas() and d % 128 == 0 and df % 128 == 0:
+        return _pallas_lnmlp_w8a8(
+            x,
+            norm_params["scale"].astype(jnp.float32).reshape(1, d),
+            norm_params["bias"].astype(jnp.float32).reshape(1, d),
+            q8_fc1["w_q"],
+            q8_fc1["w_s"].astype(jnp.float32).reshape(1, df),
+            q8_fc1["b"].astype(jnp.float32).reshape(1, df),
+            q8_fc2["w_q"],
+            q8_fc2["w_s"].astype(jnp.float32).reshape(1, d),
+            q8_fc2["b"].astype(jnp.float32).reshape(1, d),
+            float(eps),
+        )
+    from ucod_dpl_tpu.ops.quant import dense_w8a8_pre
+
+    h1_q, s1 = layernorm_fc1_gelu_w8a8(x, norm_params, q8_fc1, eps)
+    return dense_w8a8_pre(h1_q, s1, q8_fc2, x.dtype)
+
+
 def layernorm_qkv_w8a8(x, norm_params, q8_q, q8_k, q8_v, eps: float):
     """(B, L, D) hidden state -> int8-W8A8 (q, k, v) of its LayerNorm.
 
