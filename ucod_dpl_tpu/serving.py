@@ -24,6 +24,14 @@ LookTwice second pass reusing the eval-loop machinery.  The refine path
 reuses the CORAL evaluator's exact prep/refine programs
 (engine/coral_loop.py::prepare_refine_inputs) so serving masks match the
 eval CLI's bit for bit on the same inputs.
+
+Throughput tuning (v5e, measured round 11): batch 32 is the device
+sweet spot at 518px — bs64 is NET SLOWER (605 vs 610 img/s int8; the
+batch sweep for bf16 found the same knee at 32) — so ``max_batch=32``
+maximises throughput and the default 16 trades ~2% of it for half the
+batch latency.  ``quantize="int8"`` adds ~20% on top of bf16
+(616-617 img/s builder-side on-chip; opt-in, validate quality on your
+data first — see MIGRATION 7b, incl. the int8 x parallelism matrix).
 """
 
 from __future__ import annotations
