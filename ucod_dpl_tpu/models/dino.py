@@ -659,13 +659,14 @@ def dino_forward(
     #                   (the flash-attention VJP keeps its own q/k/v/o+lse
     #                   residuals either way; policies cannot see inside a
     #                   custom_vjp).
-    # Measured on v5e, bs16@518px LoRA joint step
-    # (scripts/microbench/bench_lora_remat.py): layer 123.7 ms (14.9 TF
-    # executed) / dots 121.2 ms (12.7 TF) / none 109.7 ms (11.6 TF) — the
-    # backward is HBM-bound enough that dots' saved FLOPs barely pay, while
-    # no-remat wins 11% and fits 16GB at this shape.  Use "none" when the
-    # batch x resolution fits, "layer" (the safe default) otherwise; "dots"
-    # is the middle ground for shapes where none OOMs.
+    # Measured on v5e (scripts/microbench/bench_lora_remat.py), LoRA joint
+    # step.  bs16@518px: layer 123.7 ms (14.9 TF executed) / dots 121.2
+    # (12.7 TF) / none 109.7 (11.6 TF).  bs16@756px: layer 744.1 (42.5 TF)
+    # / none 673.0 (35.2 TF) / dots OOMs HBM (15.97G of 15.75G) — the
+    # policy forces every dot output saved in f32, HEAVIER than no-remat's
+    # bf16-dominated liveness, so "dots" is NOT a middle ground here: use
+    # "none" when the shape fits (wins ~10-11% at both resolutions),
+    # "layer" (the safe default) when it doesn't.
     if isinstance(remat, str):
         if remat in ("none", ""):
             run_layer = layer_fn
