@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from ucod_dpl_tpu.ops.attention import multi_head_attention
 
-B, L, D, NH = 16, 1370, 768, 12
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+L = int(sys.argv[2]) if len(sys.argv) > 2 else 1370
+D, NH = 768, 12
 
 
 def marginal(fn, iters=8, repeats=3):

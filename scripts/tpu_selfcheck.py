@@ -322,10 +322,12 @@ def main() -> int:
             ref8 = ref8.reshape(1, nh, L756, hd).transpose(0, 2, 1, 3).reshape(1, L756, nh * hd)
             fwd_diff = float(np.max(np.abs(out8 - ref8)))
 
-            # backward: the VMEM law must refuse a flash block at this
-            # length (both operand widths) and the VJP's XLA fallback must
-            # execute, stay finite, and match the naive-attention gradient
-            no_flash_bwd = (
+            # backward: the VMEM law must refuse a WHOLE-KV flash block at
+            # this length (both operand widths) — which routes the VJP to
+            # the KV-blocked long-L backward (round 11: stats forward +
+            # _bwd2d kernels on saved f32 denominators) — and the gradient
+            # must execute on chip, stay finite, and match naive attention
+            no_wholekv_bwd = (
                 A._bwd_block_q(lp, 2) is None and A._bwd_block_q(lp, 4) is None
             )
             from ucod_dpl_tpu.ops.attention import differentiable_mode
@@ -362,20 +364,21 @@ def main() -> int:
                 and maximal
                 and np.isfinite(out8).all()
                 and fwd_diff < 0.02
-                and no_flash_bwd
+                and no_wholekv_bwd
                 and np.isfinite(g_packed).all()
                 and grel < 0.1
             )
             check(
-                "756px attention laws (fwd q-block + bwd fallback)",
+                "756px attention laws (fwd q-block + long-L flash bwd)",
                 bool(ok8),
                 f"block={blk}/{lp} budget={budget >> 20}MB fwd_maxdiff="
-                f"{fwd_diff:.4f} bwd_flash={'off' if no_flash_bwd else 'ON?'} "
+                f"{fwd_diff:.4f} "
+                f"bwd={'longl-flash' if no_wholekv_bwd else 'wholekv?'} "
                 f"grad_rel={grel:.4f} ({time.perf_counter()-t0:.0f}s)",
             )
         except Exception as e:  # noqa: BLE001
             check(
-                "756px attention laws (fwd q-block + bwd fallback)", False,
+                "756px attention laws (fwd q-block + long-L flash bwd)", False,
                 f"raised: {type(e).__name__}: {e}",
             )
 

@@ -66,6 +66,69 @@ def test_grad_matches_xla_vjp(seq_len, num_heads):
         )
 
 
+@pytest.mark.parametrize("seq_len,num_heads", [(150, 2), (256, 12)])
+def test_longl_grad_matches_xla_vjp(seq_len, num_heads, monkeypatch):
+    """The KV-blocked long-L backward (stats forward + _bwd2d kernels) vs
+    the XLA VJP — forced at small L by making the whole-KV VMEM law refuse,
+    exactly how 756px engages it on chip.  150 exercises boundary blocks on
+    BOTH grid dims; 256 the aligned path."""
+    from ucod_dpl_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_bwd_block_q", lambda lp, itemsize: None)
+    jax.clear_caches()
+    rng = np.random.default_rng(7)
+    hd = 64
+    d = num_heads * hd
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((2, seq_len, d)), jnp.float32)
+        for _ in range(3)
+    )
+    loss_p = lambda *a: jnp.sum(multi_head_attention(*a, num_heads, scale=scale) ** 2)
+    loss_x = lambda *a: jnp.sum(_xla_mha(*a, num_heads, scale) ** 2)
+
+    grads_p = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    grads_x = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for name, gp, gx in zip("qkv", grads_p, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name} (long-L path)",
+        )
+    jax.clear_caches()  # drop programs traced under the patched law
+
+
+def test_stats_forward_matches_plain_forward(monkeypatch):
+    """The stats forward (VJP variant for long L) must agree with the
+    inference forward — identical math, f32-exact denominators — and its
+    saved denominators must equal an explicit f32 softmax denominator."""
+    from ucod_dpl_tpu.ops import attention as A
+
+    rng = np.random.default_rng(9)
+    b, l, nh, hd = 2, 150, 2, 64
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, l, nh * hd)), jnp.float32)
+        for _ in range(3)
+    )
+    o_plain = A._pallas_attention_packed(q, k, v, nh, scale, rowmax=False)
+    o_stats, den = A._pallas_attention_packed_stats(q, k, v, nh, scale)
+    np.testing.assert_allclose(
+        np.asarray(o_stats), np.asarray(o_plain), rtol=1e-6, atol=1e-7
+    )
+    assert den.shape == (b, nh // 2, l, 8)
+    # explicit denominator: sum over keys of exp2(scale*log2e*q.k - SHIFT)
+    qh = q.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(qh), np.asarray(kh))
+    ref_den = np.exp2(
+        s * scale * np.log2(np.e) - A._SOFTMAX_SHIFT
+    ).sum(-1)  # (b, nh, l)
+    got0 = np.asarray(den)[:, 0, :, 0]  # head 0, lane 0
+    got1 = np.asarray(den)[:, 0, :, 4]  # head 1, lane 4
+    np.testing.assert_allclose(got0, ref_den[:, 0], rtol=1e-5)
+    np.testing.assert_allclose(got1, ref_den[:, 1], rtol=1e-5)
+
+
 def test_grad_cotangent_dtype_matches_primal():
     """custom_vjp cotangents must come back in the primal dtype (bf16 on the
     TPU path) or jax raises at transpose time."""

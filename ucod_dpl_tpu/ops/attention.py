@@ -306,6 +306,125 @@ def _pallas_attention_packed(q, k, v, num_heads: int, scale: float, rowmax: bool
     return out[:, :seq_len, :] if padded else out
 
 
+def _attention_kernel_headpair_stats(
+    q_ref, k_ref, v_ref, o_ref, den_ref, *, seq_len: int, scale: float,
+    head_dim: int,
+):
+    """Forward kernel variant for DIFFERENTIATED long-L paths: identical
+    attention math to :func:`_attention_kernel_headpair` (rowmax=False
+    scheme), plus the per-query softmax DENOMINATOR as a second output —
+    the residual the KV-blocked long-L backward normalises with.
+
+    Two deliberate differences from the inference kernel, both confined to
+    the differentiated path:
+      * ``exp2`` is computed in f32 and the denominator accumulated from
+        the f32 terms BEFORE the bf16 cast for the PV matmul — the saved
+        denominator is then bit-identical to what the backward's f32
+        recompute ``sum(exp2(s))`` produces, so the backward's probability
+        normalisation is exact (reusing the inference kernel's
+        bf16-accumulated denominator would skew every gradient ~0.4%);
+      * the denominator leaves broadcast over an 8-lane output block
+        (lanes 0:4 head0, 4:8 head1) — the same Mosaic lane-legality
+        layout as the fused-fc1 scale output (a (bq,) lane dim would be
+        illegal; see ops/pallas_legality.py).
+    """
+    lp = k_ref.shape[1]
+    kv_valid = None
+    if lp != seq_len:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), 0)
+        kv_valid = rows < seq_len
+    qscale = scale * _LOG2E
+    mask_row = None
+    outs, dens = [], []
+    for h in range(2):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0][:, sl].astype(jnp.float32) * qscale).astype(q_ref.dtype)
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        if kv_valid is not None:
+            k = jnp.where(kv_valid, k, jnp.zeros((), k.dtype))
+            v = jnp.where(kv_valid, v, jnp.zeros((), v.dtype))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if mask_row is None:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+            mask_row = jnp.where(
+                cols < seq_len, -_SOFTMAX_SHIFT, -jnp.inf
+            ).astype(jnp.float32)
+        p32 = jnp.exp2(s + mask_row)  # f32 — the denominator's source
+        denom = jnp.sum(p32, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p32.astype(v_ref.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / denom)
+        dens.append(jnp.broadcast_to(denom, (denom.shape[0], 4)))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    den_ref[0, 0] = jnp.concatenate(dens, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def _pallas_attention_packed_stats(q, k, v, num_heads: int, scale: float):
+    """Packed forward + per-query softmax denominators (B, nh/2, L, 8):
+    the VJP forward for sequences too long for the whole-KV backward."""
+    b, seq_len, d_model = q.shape
+    hd = d_model // num_heads
+    assert num_heads % 2 == 0 and (2 * hd) % 128 == 0
+    lp = _ceil_to(seq_len, 128)
+    block_q = _pick_q_block(lp)
+    padded = lp != seq_len and _needs_host_padding()
+    if padded:
+        q, k, v = (jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q, k, v))
+    out_len = lp if padded else seq_len
+
+    grid = (b, num_heads // 2, lp // block_q)
+    out, den = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_headpair_stats,
+            seq_len=seq_len, scale=scale, head_dim=hd,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lp, 2 * hd), lambda bb, h, i: (bb, 0, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lp, 2 * hd), lambda bb, h, i: (bb, 0, h), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, block_q, 2 * hd), lambda bb, h, i: (bb, i, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 8), lambda bb, h, i: (bb, h, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, out_len, d_model), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads // 2, out_len, 8), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * lp * lp * hd,
+            bytes_accessed=4 * b * lp * d_model * q.dtype.itemsize,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+    if padded:
+        out, den = out[:, :seq_len, :], den[:, :, :seq_len, :]
+    return out, den
+
+
 # ---------------------------------------------------------------------------
 # backward (flash-attention VJP for the packed kernel)
 # ---------------------------------------------------------------------------
@@ -497,6 +616,245 @@ def _bwd_block_q(lp: int, itemsize: int):
     return lp // n
 
 
+def _bwd2d_prelude(
+    q_ref, k_ref, v_ref, o_ref, do_ref, den_ref, *, seq_len, scale, head_dim,
+    block_q, block_k, qi, kvi, h,
+):
+    """Shared recompute for the two long-L backward kernels: one head's
+    (block_q, block_k) probability tile from the SAVED denominator, plus the
+    ds tile of the flash backward algebra.  Returns (q_raw, do_blk, p, ds).
+
+    Garbage hygiene: K/V tail rows are zeroed (composed operands carry XLA
+    tile-padding garbage — Inf/NaN would poison s before the additive mask
+    can kill it), invalid key columns get the -inf+shift mask row, and
+    invalid QUERY rows are pinned to p == 0 explicitly (their saved
+    denominator is undefined, so even zeroed do rows could produce inf * 0
+    = NaN through the division)."""
+    bq, bk = block_q, block_k
+    sl = slice(h * head_dim, (h + 1) * head_dim)
+    grows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    q_valid = grows < seq_len
+    q_raw = jnp.where(q_valid, q_ref[0][:, sl], jnp.zeros((), q_ref.dtype))
+    o_blk = jnp.where(q_valid, o_ref[0][:, sl], jnp.zeros((), o_ref.dtype))
+    do_blk = jnp.where(q_valid, do_ref[0][:, sl], jnp.zeros((), do_ref.dtype))
+    k = k_ref[0][:, sl]
+    v = v_ref[0][:, sl]
+    krows = kvi * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+    kv_valid = krows < seq_len
+    k = jnp.where(kv_valid, k, jnp.zeros((), k.dtype))
+    v = jnp.where(kv_valid, v, jnp.zeros((), v.dtype))
+
+    qscale = scale * _LOG2E
+    qs = (q_raw.astype(jnp.float32) * qscale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    kcols = kvi * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    mask_row = jnp.where(kcols < seq_len, -_SOFTMAX_SHIFT, -jnp.inf).astype(
+        jnp.float32
+    )
+    p32 = jnp.exp2(s + mask_row)
+    den = den_ref[0, 0][:, 4 * h : 4 * h + 1]  # (bq, 1) f32, saved by the fwd
+    p = jnp.where(q_valid, p32 / den, 0.0)
+
+    d_row = jnp.sum(
+        do_blk.astype(jnp.float32) * o_blk.astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )
+    dp = jax.lax.dot_general(
+        do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = (p * (dp - d_row) * scale).astype(q_ref.dtype)
+    return q_raw, do_blk, k, p, ds
+
+
+def _bwd2d_dq_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, den_ref, dq_ref, *,
+    seq_len: int, scale: float, head_dim: int, block_q: int, block_k: int,
+):
+    """Long-L backward, dQ half: grid (B, nh/2, nq, nkv) with the KV
+    dimension INNERMOST, so each dq block accumulates its k-chunk partials
+    consecutively ("arbitrary" semantics, initialised at kv==0).  Per-tile
+    VMEM is (block_q x block_k) — no whole-L buffer exists, which is what
+    the whole-KV kernel's scoped-vmem law could not provide at 756px+."""
+    kvi = pl.program_id(3)
+
+    @pl.when(kvi == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    qi = pl.program_id(2)
+    parts = []
+    for h in range(2):
+        _, _, k, _, ds = _bwd2d_prelude(
+            q_ref, k_ref, v_ref, o_ref, do_ref, den_ref,
+            seq_len=seq_len, scale=scale, head_dim=head_dim,
+            block_q=block_q, block_k=block_k, qi=qi, kvi=kvi, h=h,
+        )
+        parts.append(
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    dq_ref[0] = dq_ref[0] + jnp.concatenate(parts, axis=-1).astype(dq_ref.dtype)
+
+
+def _bwd2d_dkv_kernel(
+    q_ref, k_ref, v_ref, o_ref, do_ref, den_ref, dk_ref, dv_ref, *,
+    seq_len: int, scale: float, head_dim: int, block_q: int, block_k: int,
+):
+    """Long-L backward, dK/dV half: grid (B, nh/2, nkv, nq) with the Q
+    dimension innermost — each dk/dv block accumulates every q-chunk's
+    contribution consecutively while its k/v chunk stays resident."""
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    kvi = pl.program_id(2)
+    dk_parts, dv_parts = [], []
+    for h in range(2):
+        q_raw, do_blk, _, p, ds = _bwd2d_prelude(
+            q_ref, k_ref, v_ref, o_ref, do_ref, den_ref,
+            seq_len=seq_len, scale=scale, head_dim=head_dim,
+            block_q=block_q, block_k=block_k, qi=qi, kvi=kvi, h=h,
+        )
+        dk_parts.append(
+            jax.lax.dot_general(
+                ds, q_raw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dv_parts.append(
+            jax.lax.dot_general(
+                p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    dk_ref[0] = dk_ref[0] + jnp.concatenate(dk_parts, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = dv_ref[0] + jnp.concatenate(dv_parts, axis=-1).astype(dv_ref.dtype)
+
+
+def _pick_2d_blocks(lp: int):
+    """(block_q, block_k) for the long-L backward: the largest divisors of
+    lp that are multiples of 16 and cap the f32 score tile at ~1.5MB —
+    small enough that per-program VMEM is trivially under the scoped limit
+    at ANY sequence length (the point of this kernel), large enough for
+    full-width MXU work."""
+
+    def pick(cap):
+        n = 1
+        while lp % n or (lp // n) % 16 or lp // n > cap:
+            n += 1
+        return lp // n
+
+    bq = pick(512)
+    # score tile bq x bk f32 <= ~1.5MB
+    bk = pick(max(128, (3 * 1024 * 1024 // 8) // max(bq, 1) // 4 * 4))
+    return bq, bk
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def _pallas_attention_packed_bwd_longl(
+    q, k, v, o, do, den, num_heads: int, scale: float
+):
+    """(dq, dk, dv) via the KV-blocked (2D) flash backward — the long-L
+    path for sequences where the whole-KV kernel's resident K/V + dK/dV
+    accumulators exceed scoped VMEM (``_bwd_block_q`` returns None; 756px
+    f32 AND bf16).  Splits into a dQ kernel and a dK/dV kernel so every
+    accumulator is revisited consecutively in its own grid; probabilities
+    are recomputed per tile from the forward's SAVED f32 denominators
+    (``_pallas_attention_packed_stats``), so no full-row reduction — and
+    no whole-L buffer — exists anywhere.  Costs one extra score+dp
+    recompute (+4 BL²D) vs the whole-KV kernel; replaces an XLA fallback
+    that materialised the (B, nh, L, L) probability matrix in HBM."""
+    b, seq_len, d_model = q.shape
+    hd = d_model // num_heads
+    lp = _ceil_to(seq_len, 128)
+    bq, bk = _pick_2d_blocks(lp)
+    padded = lp != seq_len and _needs_host_padding()
+    if padded:
+        q, k, v, o, do = (
+            jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q, k, v, o, do)
+        )
+        den = jnp.pad(den, [(0, 0), (0, 0), (0, lp - seq_len), (0, 0)],
+                      constant_values=1.0)
+    out_len = lp if padded else seq_len
+
+    kw = dict(seq_len=seq_len, scale=scale, head_dim=hd, block_q=bq, block_k=bk)
+    qblk = lambda bb, h, i, j: (bb, i, h)
+    kblk = lambda bb, h, i, j: (bb, j, h)
+    dblk = lambda bb, h, i, j: (bb, h, i, 0)
+    in_specs_dq = [
+        pl.BlockSpec((1, bq, 2 * hd), qblk, memory_space=pltpu.VMEM),   # q
+        pl.BlockSpec((1, bk, 2 * hd), kblk, memory_space=pltpu.VMEM),   # k
+        pl.BlockSpec((1, bk, 2 * hd), kblk, memory_space=pltpu.VMEM),   # v
+        pl.BlockSpec((1, bq, 2 * hd), qblk, memory_space=pltpu.VMEM),   # o
+        pl.BlockSpec((1, bq, 2 * hd), qblk, memory_space=pltpu.VMEM),   # do
+        pl.BlockSpec((1, 1, bq, 8), dblk, memory_space=pltpu.VMEM),     # den
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd2d_dq_kernel, **kw),
+        grid=(b, num_heads // 2, lp // bq, lp // bk),
+        in_specs=in_specs_dq,
+        out_specs=pl.BlockSpec((1, bq, 2 * hd), qblk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * num_heads * lp * lp * hd,
+            bytes_accessed=4 * b * lp * d_model * q.dtype.itemsize
+            + b * lp * d_model * 4,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, o, do, den)
+
+    # the dK/dV grid swaps which dimension is innermost: index maps see
+    # (bb, h, j, i) with j = kv block, i = q block
+    qblk2 = lambda bb, h, j, i: (bb, i, h)
+    kblk2 = lambda bb, h, j, i: (bb, j, h)
+    dblk2 = lambda bb, h, j, i: (bb, h, i, 0)
+    in_specs_dkv = [
+        pl.BlockSpec((1, bq, 2 * hd), qblk2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, 2 * hd), kblk2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, 2 * hd), kblk2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, 2 * hd), qblk2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, 2 * hd), qblk2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 8), dblk2, memory_space=pltpu.VMEM),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd2d_dkv_kernel, **kw),
+        grid=(b, num_heads // 2, lp // bk, lp // bq),
+        in_specs=in_specs_dkv,
+        out_specs=[
+            pl.BlockSpec((1, bk, 2 * hd), kblk2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, 2 * hd), kblk2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * num_heads * lp * lp * hd,
+            bytes_accessed=4 * b * lp * d_model * q.dtype.itemsize
+            + 2 * b * lp * d_model * 4,
+            transcendentals=b * num_heads * lp * lp,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, o, do, den)
+    if padded:
+        dq, dk, dv = (x[:, :seq_len, :] for x in (dq, dk, dv))
+    return dq, dk, dv
+
+
 def _xla_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
     """XLA-math backward for the packed layout: used when the flash backward
     kernel cannot fit VMEM (very long sequences, e.g. 756px f32) — the
@@ -532,19 +890,35 @@ def _packed_attention_diff(q, k, v, num_heads: int, scale: float, rowmax: bool):
 
 
 def _packed_attention_diff_fwd(q, k, v, num_heads, scale, rowmax):
+    lp = _ceil_to(q.shape[1], 128)
+    # long-L: the whole-KV backward cannot fit scoped VMEM (756px+) — run
+    # the stats forward so the KV-blocked backward gets its saved f32
+    # denominators.  (rowmax forwards keep the plain kernel: their backward
+    # is the row-max-stable XLA fallback either way.)
+    if not rowmax and _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize) is None:
+        o, den = _pallas_attention_packed_stats(q, k, v, num_heads, scale)
+        return o, (q, k, v, o, den)
     o = _pallas_attention_packed(q, k, v, num_heads, scale, rowmax=rowmax)
-    return o, (q, k, v, o)
+    return o, (q, k, v, o, None)
 
 
 def _packed_attention_diff_bwd(num_heads, scale, rowmax, res, do):
-    q, k, v, o = res
+    q, k, v, o, den = res
     lp = _ceil_to(q.shape[1], 128)
     # rowmax=True means the forward needed row-max-subtracted softmax (the
     # fixed-shift guard band was breached); the flash backward recomputes
     # softmax with the fixed shift and would overflow on exactly those
     # inputs — use the XLA backward, whose jax.nn.softmax recompute is
     # row-max-stable and matches the rowmax forward semantics.
-    if rowmax or _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize) is None:
+    if rowmax:
+        dq, dk, dv = _xla_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
+    elif den is not None:
+        # long-L: KV-blocked flash backward on the saved denominators —
+        # replaces the XLA fallback that materialised (B, nh, L, L) in HBM
+        dq, dk, dv = _pallas_attention_packed_bwd_longl(
+            q, k, v, o, do, den, num_heads, scale
+        )
+    elif _bwd_block_q(lp, jnp.dtype(q.dtype).itemsize) is None:
         dq, dk, dv = _xla_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
     else:
         dq, dk, dv = _pallas_attention_packed_bwd(q, k, v, o, do, num_heads, scale)
