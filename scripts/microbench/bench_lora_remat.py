@@ -72,7 +72,10 @@ def main():
     pixels = jnp.asarray(rng.standard_normal((bs, img, img, 3)).astype(np.float32))
     plabels = jnp.asarray((rng.random((bs, g, g, 1)) > 0.5).astype(np.float32))
 
-    for mode in ("layer", "dots", "none"):
+    modes = ("layer", "dots", "none")
+    if len(sys.argv) > 3:  # optional: restrict to one mode (slow compiles)
+        modes = (sys.argv[3],)
+    for mode in modes:
         ltcfg = CfgNode(
             {
                 "model_cfg": {
