@@ -739,11 +739,15 @@ def _bwd2d_dkv_kernel(
 
 
 def _pick_2d_blocks(lp: int):
-    """(block_q, block_k) for the long-L backward: the largest divisors of
-    lp that are multiples of 16 and cap the f32 score tile at ~1.5MB —
-    small enough that per-program VMEM is trivially under the scoped limit
-    at ANY sequence length (the point of this kernel), large enough for
-    full-width MXU work."""
+    """(block_q, block_k) for the long-L backward.
+
+    Measured law (756px sweep, scripts/microbench/bench_longl_blocks.py):
+    the binding constraint is the PAIR of live f32 (bq, bk) tiles (p and
+    ds) — bq*bk <= ~1.1M elements (~9MB) compiles and bigger fails the
+    scoped-vmem limit; within that budget, BIGGER tiles win monotonically
+    ((368,736) 22.8ms -> (736,736) 19.6 -> (736,1472)/(1472,736) 19.0;
+    skinny shapes lose: (1472,184) 34.0).  So: bq = largest divisor of lp
+    <= 768 (balanced-ish), bk = largest divisor keeping bq*bk <= 1.1M."""
 
     def pick(cap):
         n = 1
@@ -751,9 +755,8 @@ def _pick_2d_blocks(lp: int):
             n += 1
         return lp // n
 
-    bq = pick(512)
-    # score tile bq x bk f32 <= ~1.5MB
-    bk = pick(max(128, (3 * 1024 * 1024 // 8) // max(bq, 1) // 4 * 4))
+    bq = pick(768)
+    bk = pick(max(128, (1_100_000 // max(bq, 1)) & ~15))
     return bq, bk
 
 
