@@ -567,7 +567,13 @@ def _pallas_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
             pl.BlockSpec((1, lp, 2 * hd), whole, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
+            # dq is written ONCE per block (no accumulation), and the VJP
+            # wrapper downcasts it to the primal dtype anyway — emitting it
+            # in q.dtype directly halves its HBM write (same final bits).
+            # dk/dv stay f32: they are revisited accumulators, and rounding
+            # each of the q-step partial sums to bf16 would be a real
+            # precision change.
+            jax.ShapeDtypeStruct((b, out_len, d_model), q.dtype),
             jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
             jax.ShapeDtypeStruct((b, out_len, d_model), jnp.float32),
         ],
@@ -579,7 +585,7 @@ def _pallas_attention_packed_bwd(q, k, v, o, do, num_heads: int, scale: float):
         cost_estimate=pl.CostEstimate(
             flops=10 * b * num_heads * lp * lp * hd,
             bytes_accessed=5 * b * lp * d_model * q.dtype.itemsize
-            + 3 * b * lp * d_model * 4,
+            + b * lp * d_model * (q.dtype.itemsize + 2 * 4),
             transcendentals=b * num_heads * lp * lp,
         ),
         interpret=_interpret(),
