@@ -374,7 +374,14 @@ def _pallas_attention_packed_stats(q, k, v, num_heads: int, scale: float):
     hd = d_model // num_heads
     assert num_heads % 2 == 0 and (2 * hd) % 128 == 0
     lp = _ceil_to(seq_len, 128)
-    block_q = _pick_q_block(lp)
+    # the stats kernel keeps its probability tile in F32 (the denominator
+    # must accumulate from f32 terms), where the plain bf16 forward emits
+    # exp2 directly in bf16 — so its VMEM usage per q-block is ~1.61x one
+    # f32 score tile (measured: Lp=2944/block 736 compiles at ~14M
+    # effective; Lp=5504/block 688 fails at 24.42M of 16M) — budget the
+    # block pick at 58% of the forward's tile budget (same picks at
+    # 518/756px; 5504 drops 688 -> 344 and compiles)
+    block_q = _pick_q_block(lp, int(_score_budget_bytes() * 0.58))
     padded = lp != seq_len and _needs_host_padding()
     if padded:
         q, k, v = (jnp.pad(x, [(0, 0), (0, lp - seq_len), (0, 0)]) for x in (q, k, v))
