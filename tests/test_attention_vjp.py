@@ -129,6 +129,34 @@ def test_stats_forward_matches_plain_forward(monkeypatch):
     np.testing.assert_allclose(got1, ref_den[:, 1], rtol=1e-5)
 
 
+def test_block_laws_pin_chip_calibrated_picks():
+    """The VMEM block laws are calibrated against on-chip compiler OOM
+    reports (see each law's docstring); this pins the PICKS at the
+    production lengths so a refactor cannot silently change a
+    chip-validated configuration.  518px: Lp=1408; 756px: Lp=2944;
+    1036px: Lp=5504 (where the stats forward's 58%-budget law was
+    calibrated — full budget picked 688 and OOM'd at 24.42M of 16M)."""
+    from ucod_dpl_tpu.ops import attention as A
+
+    stats_budget = int(A._score_budget_bytes() * 0.58)
+    # forward q-blocks (plain vs stats) — chip-validated on v5e
+    assert A._pick_q_block(1408) == 1408
+    assert A._pick_q_block(2944) == 736
+    assert A._pick_q_block(1408, stats_budget) == 1408
+    assert A._pick_q_block(2944, stats_budget) == 736
+    assert A._pick_q_block(5504, stats_budget) == 128  # 688 OOM'd on chip
+    # whole-KV backward feasibility: fits at 518px, refuses at 756px+
+    assert A._bwd_block_q(1408, 2) == 352
+    assert A._bwd_block_q(2944, 2) is None and A._bwd_block_q(2944, 4) is None
+    # long-L 2D blocks: the measured pair-tile law (bq*bk <= ~1.1M)
+    assert A._pick_2d_blocks(2944) == (736, 1472)
+    assert A._pick_2d_blocks(1408) == (704, 1408)
+    for lp in (128, 2944, 5504, 11392):
+        bq, bk = A._pick_2d_blocks(lp)
+        assert lp % bq == 0 and lp % bk == 0 and bq % 16 == 0 and bk % 16 == 0
+        assert bq * bk <= 1_100_000
+
+
 def test_grad_cotangent_dtype_matches_primal():
     """custom_vjp cotangents must come back in the primal dtype (bf16 on the
     TPU path) or jax raises at transpose time."""
